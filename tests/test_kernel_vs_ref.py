@@ -1,0 +1,141 @@
+"""Pallas sweep kernel vs pure-jnp oracle (SURVEY.md §4 oracle tier).
+
+The kernel computes the *same discretization* as
+``tpuvr.ref.march.render_plane_sweep`` on the intermediate ray lattice, so
+agreement is to f32 roundoff, not quadrature tolerance. Shapes are small:
+kernels run in interpret mode on the CPU test backend and compile time
+dominates on this host.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvr.config import RenderConfig
+from tpuvr.io.synth import smoke_sphere
+from tpuvr.ops.geometry import intermediate_rays, plan_sweep, warp_to_pixels
+from tpuvr.ops.render import render_view
+from tpuvr.ref.camera import (
+    OrthoCamera,
+    camera_rays,
+    dominant_axis,
+    look_at_perspective,
+)
+from tpuvr.ref.march import GRID_PERM, render_plane_sweep
+
+N = 12
+RES = 16
+ATOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return smoke_sphere(N)
+
+
+def _oracle_image(grid, cam):
+    """Oracle for the full fast path: plane-sweep the intermediate lattice
+    rays in f64, then the same final warp."""
+    axis = dominant_axis(cam)
+    plan, uv_pixel = plan_sweep(cam, grid.shape, axis)
+    gp = jnp.transpose(grid, GRID_PERM[axis]).astype(jnp.float64)
+    o, d = intermediate_rays(plan, dtype=jnp.float64)
+    rgb, t = render_plane_sweep(gp, o, d, axis=2)
+    inter = jnp.concatenate([rgb, t[..., None]], axis=-1)
+    img = warp_to_pixels(inter, plan, uv_pixel)
+    return img[..., :3], img[..., 3]
+
+
+def _check(grid, cam, cfg=RenderConfig(early_stop_eps=0.0), atol=ATOL):
+    rgb_k, t_k = render_view(grid, cam, cfg)
+    rgb_o, t_o = _oracle_image(grid, cam)
+    np.testing.assert_allclose(rgb_k, rgb_o, atol=atol)
+    np.testing.assert_allclose(t_k, t_o, atol=atol)
+
+
+def test_separable_ortho_axis_aligned(grid):
+    c = (N - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * N), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * N, height=1.5 * N,
+        res_x=RES, res_y=RES,
+    )
+    # Sanity: separable case must also match the per-pixel oracle directly.
+    o, d = camera_rays(cam, dtype=jnp.float64)
+    rgb_o, t_o = render_plane_sweep(
+        grid.astype(jnp.float64), o, d, axis=2
+    )
+    rgb_k, t_k = render_view(grid, cam, RenderConfig(early_stop_eps=0.0))
+    np.testing.assert_allclose(rgb_k, rgb_o, atol=ATOL)
+    np.testing.assert_allclose(t_k, t_o, atol=ATOL)
+
+
+def test_separable_ortho_reverse(grid):
+    c = (N - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, 4.0 * N), forward=(0.0, 0.0, -1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * N, height=1.5 * N,
+        res_x=RES, res_y=RES,
+    )
+    o, d = camera_rays(cam, dtype=jnp.float64)
+    rgb_o, t_o = render_plane_sweep(grid.astype(jnp.float64), o, d, axis=2)
+    rgb_k, t_k = render_view(grid, cam, RenderConfig(early_stop_eps=0.0))
+    np.testing.assert_allclose(rgb_k, rgb_o, atol=ATOL)
+    np.testing.assert_allclose(t_k, t_o, atol=ATOL)
+
+
+def test_tilted_ortho_warp_path(grid):
+    c = (N - 1) / 2.0
+    fwd = (0.3, 0.2, 1.0)
+    nrm = np.linalg.norm(fwd)
+    center = tuple(c - 3.0 * N * f / nrm for f in fwd)
+    cam = OrthoCamera(
+        center=center, forward=fwd, width=1.6 * N, height=1.6 * N,
+        res_x=RES, res_y=RES,
+    )
+    _check(grid, cam)
+
+
+@pytest.mark.parametrize("eye_off", [
+    (0.0, -3.0, 0.8),   # y-dominant
+    (3.0, 0.5, -0.7),   # x-dominant
+    (0.4, 0.8, 3.0),    # z-dominant
+])
+def test_perspective_orbit_views(grid, eye_off):
+    c = (N - 1) / 2.0
+    eye = (c + eye_off[0] * N, c + eye_off[1] * N, c + eye_off[2] * N)
+    cam = look_at_perspective(eye, (c, c, c), res_x=RES, res_y=RES)
+    _check(grid, cam)
+
+
+def test_ert_error_is_bounded(grid):
+    # ERT only drops contributions with transmittance < eps.
+    c = (N - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * N), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * N, height=1.5 * N,
+        res_x=RES, res_y=RES,
+    )
+    dense = grid.at[..., 0].mul(50.0)  # optically thick => ERT triggers
+    eps = 1e-3
+    rgb_ert, t_ert = render_view(dense, cam, RenderConfig(early_stop_eps=eps))
+    rgb_ex, t_ex = render_view(dense, cam, RenderConfig(early_stop_eps=0.0))
+    assert float(jnp.max(jnp.abs(rgb_ert - rgb_ex))) <= eps * 2.0
+    assert float(jnp.max(jnp.abs(t_ert - t_ex))) <= eps * 2.0
+
+
+def test_occupancy_skip_is_lossless(grid):
+    # Zero out the outer slabs: skipping empty slices must be exact.
+    g = grid.at[:3].set(0.0).at[-3:].set(0.0)
+    c = (N - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * N), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * N, height=1.5 * N,
+        res_x=RES, res_y=RES,
+    )
+    rgb_a, t_a = render_view(g, cam, RenderConfig(use_occupancy=True,
+                                                  early_stop_eps=0.0))
+    rgb_b, t_b = render_view(g, cam, RenderConfig(use_occupancy=False,
+                                                  early_stop_eps=0.0))
+    np.testing.assert_allclose(rgb_a, rgb_b, atol=1e-7)
+    np.testing.assert_allclose(t_a, t_b, atol=1e-7)

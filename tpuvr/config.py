@@ -1,0 +1,109 @@
+"""Frozen, hashable config dataclasses.
+
+These double as static arguments to ``jax.jit`` (frozen dataclasses are
+hashable), replacing the reference renderer's argv flag plumbing
+(SURVEY.md §5 "Config / flag system"). The five driver configs
+(BASELINE.json:6-12) are instantiated in ``configs/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Controls the ray-march discretization and termination.
+
+    Attributes:
+      mode: 'plane_sweep' — samples at integer-plane crossings along the
+        dominant axis (the TPU-native path; each step is one slice);
+        'fixed_dt' — classic fixed step size along the ray (the oracle path,
+        matching the reference's per-pixel OpenCL ray-march semantics).
+      step_dt: step size in voxel units for mode='fixed_dt'.
+      max_steps: static number of steps for mode='fixed_dt'; if None it is
+        derived from the grid diagonal at trace time.
+      early_stop_eps: transmittance threshold for early ray termination (C6);
+        0.0 disables ERT.
+      use_occupancy: enable empty-space skipping via the coarse occupancy
+        grid (C6).
+      occupancy_brick: brick edge length (voxels) for the occupancy grid.
+      sigma_scale: global multiplier on density before alpha conversion.
+      tmin: samples with ray parameter t <= tmin are ignored (rays start at
+        their origin).
+    """
+
+    mode: str = "plane_sweep"
+    step_dt: float = 0.5
+    max_steps: Optional[int] = None
+    early_stop_eps: float = 1e-4
+    use_occupancy: bool = True
+    occupancy_brick: int = 8
+    sigma_scale: float = 1.0
+    tmin: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LightingConfig:
+    """Hemisphere-sampled single-scatter lighting (C4).
+
+    Attributes:
+      mode: 'none' — emission-absorption only; 'lightvolume' — precompute a
+        per-voxel sky-transmittance volume by N directional sweeps, sampled
+        during the primary march (the TPU-native fast path); 'persample' —
+        exact N secondary marches per primary sample (oracle path).
+      n_samples: hemisphere sample count (N=16 per BASELINE.json:9).
+      sky_intensity: radiance of the sky dome.
+      up: world up axis for the hemisphere, as (x, y, z).
+      secondary_dt: step size (voxels) for secondary (shadow) marches.
+    """
+
+    mode: str = "none"
+    n_samples: int = 16
+    sky_intensity: float = 1.0
+    up: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    secondary_dt: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for the distributed paths (C10, C11).
+
+    Attributes:
+      data: number of devices sharding rays (replicated-grid DP path).
+      zshard: number of devices sharding the grid in z-slabs (sharded-grid
+        path); 1 disables grid sharding.
+      grad_buckets: number of buckets for overlapping the grid-grad
+        all-reduce with the backward sweep.
+    """
+
+    data: int = 1
+    zshard: int = 1
+    grad_buckets: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Inverse-rendering loop (C9).
+
+    Attributes:
+      lr: Adam learning rate on the voxel grid.
+      steps: optimization steps.
+      views_per_batch: posed views per minibatch.
+      rays_per_view: if set, subsample this many rays per view per step.
+      ckpt_every: checkpoint interval in steps (0 disables).
+      ckpt_dir: orbax checkpoint directory.
+      seed: PRNG seed.
+      density_softplus: parameterize density through softplus for
+        positivity.
+    """
+
+    lr: float = 1e-1
+    steps: int = 500
+    views_per_batch: int = 8
+    rays_per_view: Optional[int] = None
+    ckpt_every: int = 100
+    ckpt_dir: str = "/tmp/tpuvr_ckpt"
+    seed: int = 0
+    density_softplus: bool = True

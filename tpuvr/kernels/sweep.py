@@ -1,0 +1,180 @@
+"""Pallas plane-sweep forward kernel (C1-C3, C5, C6 compute path).
+
+Replaces the reference's per-pixel OpenCL ray-march kernel (reconstructed
+``kernels/*.cl`` hot loop, SURVEY.md §1.1) with a TPU-native formulation:
+
+- the pallas grid iterates over the S grid slices front-to-back (TPU grid
+  iterations are sequential per core, so compositing state lives in VMEM
+  output blocks revisited every step);
+- each slice is streamed HBM->VMEM by the Pallas pipeline (auto
+  double-buffered since the block index advances each step);
+- the trilinear sample of all rays against the slice is two banded
+  interpolation matrices applied as MXU matmuls (weights built on the fly
+  from two per-slice affine scalars per axis — see tpuvr/ops/geometry.py);
+  out-of-grid samples fall out naturally with weight 0 (vacuum);
+- front-to-back compositing is elementwise VPU work on (V, U) registers;
+- early ray termination (C6): once every intermediate ray's transmittance
+  falls below ``early_stop_eps``, remaining slices skip all compute (the
+  DMA still streams; with occupancy-driven ``enables`` the slice can also
+  be skipped from the front);
+- empty-space skipping (C6): the caller passes per-slice ``enables`` (0/1)
+  from the occupancy scan; disabled slices skip the matmuls exactly (a
+  zero-density slice contributes nothing, so results are bit-identical).
+
+Grid layout: (S, 4, Y, X) — channels (sigma, r, g, b) as dim 1 so each
+(Y, X) channel plane is MXU-contiguous.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuvr.kernels._compat import use_interpret
+
+
+def _interp_matrices(ay, by, ax, bx, n_v, n_y, n_x, n_u, dtype):
+    """Banded linear-interp operators for one slice.
+
+    A[i, y] = max(0, 1 - |i*ay + by - y|)   (V, Y) row resample
+    B[x, j] = max(0, 1 - |j*ax + bx - x|)   (X, U) column resample
+    """
+    # Mosaic only lowers integer iota; cast to the compute dtype after.
+    iv = jax.lax.broadcasted_iota(jnp.int32, (n_v, n_y), 0).astype(dtype)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (n_v, n_y), 1).astype(dtype)
+    mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(iv * ay + by - yy))
+    ju = jax.lax.broadcasted_iota(jnp.int32, (n_x, n_u), 1).astype(dtype)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (n_x, n_u), 0).astype(dtype)
+    mat_b = jnp.maximum(0.0, 1.0 - jnp.abs(ju * ax + bx - xx))
+    return mat_a, mat_b
+
+
+def _sweep_fwd_kernel(
+    # scalar-blocked inputs (SMEM), one element per slice
+    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,
+    # tensor inputs (VMEM)
+    slice_ref,  # (1, 4, Y, X) current grid slice
+    dt_ref,     # (V, U) per-ray step length
+    # outputs (VMEM, revisited every step)
+    rgb_ref,    # (3, V, U)
+    trans_ref,  # (V, U)
+    # scratch
+    tmax_ref,   # SMEM (1,) running max transmittance for ERT
+    *,
+    sigma_scale: float,
+    early_stop_eps: float,
+):
+    k = pl.program_id(0)
+    n_v, n_u = trans_ref.shape
+    n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
+    dtype = trans_ref.dtype
+
+    @pl.when(k == 0)
+    def _init():
+        rgb_ref[...] = jnp.zeros_like(rgb_ref)
+        trans_ref[...] = jnp.ones_like(trans_ref)
+        tmax_ref[0] = jnp.asarray(1.0, dtype)
+
+    live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
+
+    @pl.when(jnp.logical_and(enable_ref[k] > 0, live))
+    def _step():
+        mat_a, mat_b = _interp_matrices(
+            ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k],
+            n_v, n_y, n_x, n_u, dtype,
+        )
+        # Resample per channel with plain 2D matmuls (3D batched dots are
+        # not Mosaic-lowerable): (V,Y)@(Y,X)@(X,U) per channel.
+        sl = slice_ref[0]
+
+        def resample(c):
+            tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype)
+            return jnp.dot(tmp, mat_b, preferred_element_type=dtype)
+
+        # Rectify after interpolation: negative raw density is vacuum.
+        sigma = jnp.maximum(resample(0), 0.0)
+        att = jnp.exp(-(sigma_scale * sigma) * dt_ref[...])
+        trans = trans_ref[...]
+        w = trans * (1.0 - att)
+        rgb_ref[0] += w * resample(1)
+        rgb_ref[1] += w * resample(2)
+        rgb_ref[2] += w * resample(3)
+        new_trans = trans * att
+        trans_ref[...] = new_trans
+        if early_stop_eps > 0.0:
+            tmax_ref[0] = jnp.max(new_trans)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "reverse", "sigma_scale", "early_stop_eps", "interpret"
+    ),
+)
+def sweep_fwd(
+    grid_sc,      # (S, 4, Y, X) permuted grid, channels second
+    coeffs,       # (ay, by, ax, bx): four (S,) arrays in traversal order
+    enables,      # (S,) 0/1 in traversal order
+    dt_map,       # (V, U)
+    *,
+    reverse: bool = False,
+    sigma_scale: float = 1.0,
+    early_stop_eps: float = 0.0,
+    interpret: bool | None = None,
+):
+    """Run the forward sweep. Returns (rgb (3, V, U), trans (V, U)).
+
+    ``reverse=True`` visits grid slices in descending index order (rays with
+    negative sweep-axis direction); coefficient arrays are always indexed by
+    traversal step.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    s, _, n_y, n_x = grid_sc.shape
+    n_v, n_u = dt_map.shape
+    dtype = grid_sc.dtype
+    ay, by, ax, bx = coeffs
+
+    def slice_index(k):
+        return ((s - 1 - k) if reverse else k, 0, 0, 0)
+
+    kernel = functools.partial(
+        _sweep_fwd_kernel,
+        sigma_scale=float(sigma_scale),
+        early_stop_eps=float(early_stop_eps),
+    )
+    # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
+    # kernels index them with program_id.
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    rgb, trans = pl.pallas_call(
+        kernel,
+        grid=(s,),
+        in_specs=[
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            pl.BlockSpec(
+                (1, 4, n_y, n_x), slice_index, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_v, n_u), lambda k: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (3, n_v, n_u), lambda k: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_v, n_u), lambda k: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_v, n_u), dtype),
+            jax.ShapeDtypeStruct((n_v, n_u), dtype),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), dtype)],
+        interpret=interpret,
+    )(ay, by, ax, bx, enables, grid_sc, dt_map)
+    return rgb, trans

@@ -1,0 +1,194 @@
+"""Pallas backward sweep: analytic grid gradients by re-marching (C8).
+
+The reference-class renderer would need an adjoint OpenCL kernel with
+atomic scatter-adds into the gradient grid (SURVEY.md §3.3); here the
+plane-sweep factorization makes the backward pass another slice sweep:
+
+- re-run the forward march front-to-back with O(1) state (no stored
+  per-step activations), reconstructing each step's transmittance T_k;
+- maintain the color prefix sum; the *suffix* needed for the density
+  gradient is ``C_final - prefix`` (the suffix-accumulator trick,
+  SURVEY.md §3.3 — formulas verified against jax.grad in f64);
+- per-slice gradients are dense matrices ``Aᵀ dS Bᵀ`` (two more MXU
+  matmuls), written exactly once per slice — no scatter, no atomics.
+
+Gradient formulas (s = sigma_scale, per intermediate ray, per step k):
+  att_k       = exp(-s * relu(sig_k) * dt)
+  d c_k       = dC * T_k (1 - att_k)
+  d sig_k     = [sig_k > 0] * s * dt *
+                ( sum_c dC_c (T_k att_k c_k - Suf_{k+1,c}) - dT * T_final )
+  Suf_{k+1}   = C_final - sum_{i<=k} T_i (1-att_i) c_i
+
+Early-terminated and occupancy-skipped slices receive exactly zero
+gradient, mirroring the forward control flow bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuvr.kernels._compat import use_interpret
+from tpuvr.kernels.sweep import _interp_matrices
+
+
+def _sweep_bwd_kernel(
+    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
+    slice_ref,   # (1, 4, Y, X) grid slice (recompute)
+    dt_ref,      # (V, U)
+    c_fin_ref,   # (3, V, U) forward output color
+    t_fin_ref,   # (V, U) forward output transmittance
+    d_c_ref,     # (3, V, U) cotangent on color
+    d_t_ref,     # (V, U) cotangent on transmittance
+    grad_ref,    # out: (1, 4, Y, X) per-slice grid gradient
+    trans_ref,   # scratch (V, U): recomputed running transmittance
+    cpre_ref,    # scratch (3, V, U): color prefix
+    tmax_ref,    # scratch SMEM (1,): ERT state
+    *,
+    sigma_scale: float,
+    early_stop_eps: float,
+):
+    k = pl.program_id(0)
+    n_v, n_u = trans_ref.shape
+    n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
+    dtype = trans_ref.dtype
+
+    @pl.when(k == 0)
+    def _init():
+        trans_ref[...] = jnp.ones_like(trans_ref)
+        cpre_ref[...] = jnp.zeros_like(cpre_ref)
+        tmax_ref[0] = jnp.asarray(1.0, dtype)
+
+    live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
+    go = jnp.logical_and(enable_ref[k] > 0, live)
+
+    @pl.when(go)
+    def _step():
+        mat_a, mat_b = _interp_matrices(
+            ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k],
+            n_v, n_y, n_x, n_u, dtype,
+        )
+        sl = slice_ref[0]
+
+        # Per-channel 2D matmuls (3D batched dots are not Mosaic-lowerable).
+        def resample(c):
+            tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype)
+            return jnp.dot(tmp, mat_b, preferred_element_type=dtype)
+
+        def grad_to_slice(d_vu):
+            # A^T @ d @ B^T: (Y,V)@(V,U)@(U,X) via transposed contractions.
+            tmp = jax.lax.dot_general(
+                mat_a, d_vu, (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )  # (Y, U)
+            return jax.lax.dot_general(
+                tmp, mat_b, (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+            )  # (Y, X)
+
+        sig_raw = resample(0)
+        sigma = jnp.maximum(sig_raw, 0.0)
+        dt = dt_ref[...]
+        att = jnp.exp(-(sigma_scale * sigma) * dt)
+        trans = trans_ref[...]
+        w = trans * (1.0 - att)          # weight of this slice's emission
+
+        # Color prefix including this step, per channel.
+        t_fin = t_fin_ref[...]
+        d_t = d_t_ref[...]
+        dsig = -d_t * t_fin
+        for c in range(3):
+            smp_c = resample(c + 1)
+            cpre_new = cpre_ref[c] + w * smp_c
+            cpre_ref[c] = cpre_new
+            suf = c_fin_ref[c] - cpre_new          # suffix over steps > k
+            d_c = d_c_ref[c]
+            dsig = dsig + d_c * (trans * att * smp_c - suf)
+            grad_ref[0, c + 1] = grad_to_slice(d_c * w)  # d emission_c
+        dsig = dsig * (sigma_scale * dt)
+        dsig = jnp.where(sig_raw > 0.0, dsig, 0.0)  # relu mask
+        grad_ref[0, 0] = grad_to_slice(dsig)
+
+        new_trans = trans * att
+        trans_ref[...] = new_trans
+        if early_stop_eps > 0.0:
+            tmax_ref[0] = jnp.max(new_trans)
+
+    @pl.when(jnp.logical_not(go))
+    def _skipped():
+        grad_ref[...] = jnp.zeros_like(grad_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("reverse", "sigma_scale", "early_stop_eps", "interpret"),
+)
+def sweep_bwd(
+    grid_sc,     # (S, 4, Y, X)
+    coeffs,      # (ay, by, ax, bx) traversal order
+    enables,     # (S,)
+    dt_map,      # (V, U)
+    c_final,     # (3, V, U) forward outputs (residuals)
+    t_final,     # (V, U)
+    d_color,     # (3, V, U) cotangents
+    d_trans,     # (V, U)
+    *,
+    reverse: bool = False,
+    sigma_scale: float = 1.0,
+    early_stop_eps: float = 0.0,
+    interpret: bool | None = None,
+):
+    """Gradient of the sweep w.r.t. the grid.
+
+    Returns (S, 4, Y, X) gradient in the same layout as ``grid_sc``.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    s, _, n_y, n_x = grid_sc.shape
+    n_v, n_u = dt_map.shape
+    dtype = grid_sc.dtype
+    ay, by, ax, bx = coeffs
+
+    def slice_index(k):
+        return ((s - 1 - k) if reverse else k, 0, 0, 0)
+
+    kernel = functools.partial(
+        _sweep_bwd_kernel,
+        sigma_scale=float(sigma_scale),
+        early_stop_eps=float(early_stop_eps),
+    )
+    # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
+    # kernels index them with program_id.
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vu_spec = pl.BlockSpec((n_v, n_u), lambda k: (0, 0),
+                           memory_space=pltpu.VMEM)
+    cvu_spec = pl.BlockSpec((3, n_v, n_u), lambda k: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grad_yx = pl.pallas_call(
+        kernel,
+        grid=(s,),
+        in_specs=[
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            pl.BlockSpec((1, 4, n_y, n_x), slice_index,
+                         memory_space=pltpu.VMEM),
+            vu_spec, cvu_spec, vu_spec, cvu_spec, vu_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, n_y, n_x),
+            lambda k: slice_index(k)[:1] + (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, 4, n_y, n_x), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_v, n_u), dtype),
+            pltpu.VMEM((3, n_v, n_u), dtype),
+            pltpu.SMEM((1,), dtype),
+        ],
+        interpret=interpret,
+    )(ay, by, ax, bx, enables, grid_sc, dt_map,
+      c_final, t_final, d_color, d_trans)
+    return grad_yx

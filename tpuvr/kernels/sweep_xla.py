@@ -1,0 +1,160 @@
+"""XLA (lax.scan) twin of the Pallas sweep kernels.
+
+Identical math and control flow to ``sweep.py``/``sweep_bwd.py`` (same
+interp matrices, same rectification, same ERT/occupancy semantics modeled
+with masks instead of skipped compute), expressed as a scan over slices so
+XLA compiles it on any backend:
+
+- it is the portable fallback path (CPU/GPU, or TPU without Pallas);
+- it is the CPU test surface for the sweep math (Mosaic-interpret compiles
+  are minutes-slow on small hosts, SURVEY.md §4 fake-backend strategy);
+- ``sweep_bwd_xla`` hand-implements the same suffix-trick gradient formulas
+  as the Pallas backward, so the formulas themselves are validated on CPU
+  against ``jax.grad`` of the forward scan and finite differences.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpuvr.kernels.sweep import _interp_matrices
+
+
+def _traversal(grid_sc, coeffs, enables, reverse):
+    s = grid_sc.shape[0]
+    order = jnp.arange(s - 1, -1, -1) if reverse else jnp.arange(s)
+    slices = grid_sc[order]
+    ay, by, ax, bx = coeffs
+    return slices, ay, by, ax, bx, enables
+
+
+def _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype):
+    n_y, n_x = sl.shape[1], sl.shape[2]
+    mat_a, mat_b = _interp_matrices(
+        ayk, byk, axk, bxk, n_v, n_y, n_x, n_u, dtype
+    )
+    tmp = jax.lax.dot_general(
+        mat_a, sl, (((1,), (1,)), ((), ())), preferred_element_type=dtype
+    )
+    smp = jax.lax.dot_general(
+        tmp, mat_b, (((2,), (0,)), ((), ())), preferred_element_type=dtype
+    )
+    return smp, mat_a, mat_b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("reverse", "sigma_scale", "early_stop_eps"),
+)
+def sweep_fwd_xla(
+    grid_sc, coeffs, enables, dt_map,
+    *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
+):
+    """Scan-based forward sweep. Returns (rgb (3, V, U), trans (V, U))."""
+    dtype = grid_sc.dtype
+    n_v, n_u = dt_map.shape
+    slices, ay, by, ax, bx, en = _traversal(
+        grid_sc, coeffs, enables, reverse
+    )
+
+    def step(carry, inp):
+        rgb, trans, tmax = carry
+        sl, ayk, byk, axk, bxk, enk = inp
+        live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
+        go = jnp.logical_and(enk > 0, live)
+        smp, _, _ = _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype)
+        sigma = jnp.maximum(smp[:, 0, :], 0.0)
+        att = jnp.exp(-(sigma_scale * sigma) * dt_map)
+        att = jnp.where(go, att, 1.0)
+        w = trans * (1.0 - att)
+        rgb = rgb + w[None] * jnp.moveaxis(smp[:, 1:4, :], 1, 0)
+        trans = trans * att
+        if early_stop_eps > 0.0:
+            tmax = jnp.where(go, jnp.max(trans), tmax)
+        return (rgb, trans, tmax), None
+
+    # Derive carry inits from dt_map so they inherit its device-varying
+    # annotation under shard_map (a fresh jnp.zeros would be unvarying and
+    # fail scan's carry type check).
+    zero = jnp.zeros((3, n_v, n_u), dtype) + 0.0 * dt_map
+    one = jnp.ones((n_v, n_u), dtype) + 0.0 * dt_map
+    init = (zero, one, jnp.asarray(1.0, dtype) + 0.0 * jnp.max(dt_map))
+    (rgb, trans, _), _ = jax.lax.scan(
+        step, init, (slices, ay, by, ax, bx, en)
+    )
+    return rgb, trans
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("reverse", "sigma_scale", "early_stop_eps"),
+)
+def sweep_bwd_xla(
+    grid_sc, coeffs, enables, dt_map, c_final, t_final, d_color, d_trans,
+    *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
+):
+    """Scan-based backward sweep (same formulas as the Pallas kernel).
+
+    Returns the (S, 4, Y, X) grid gradient.
+    """
+    dtype = grid_sc.dtype
+    n_v, n_u = dt_map.shape
+    slices, ay, by, ax, bx, en = _traversal(
+        grid_sc, coeffs, enables, reverse
+    )
+
+    def step(carry, inp):
+        trans, cpre, tmax = carry
+        sl, ayk, byk, axk, bxk, enk = inp
+        live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
+        go = jnp.logical_and(enk > 0, live)
+        smp, mat_a, mat_b = _resample(
+            sl, ayk, byk, axk, bxk, n_v, n_u, dtype
+        )
+        sig_raw = smp[:, 0, :]
+        sigma = jnp.maximum(sig_raw, 0.0)
+        att = jnp.exp(-(sigma_scale * sigma) * dt_map)
+        att = jnp.where(go, att, 1.0)
+        w = trans * (1.0 - att)
+
+        dsig = -d_trans * t_final
+        dsmp_c = []
+        for c in range(3):
+            cpre = cpre.at[c].add(w * smp[:, c + 1, :])
+            suf = c_final[c] - cpre[c]
+            dsig = dsig + d_color[c] * (
+                trans * att * smp[:, c + 1, :] - suf
+            )
+            dsmp_c.append(d_color[c] * w)
+        dsig = dsig * (sigma_scale * dt_map)
+        dsig = jnp.where(sig_raw > 0.0, dsig, 0.0)
+        dsmp = jnp.stack([dsig] + dsmp_c, axis=1)  # (V, 4, U)
+        tmp2 = jax.lax.dot_general(
+            mat_a, dsmp, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )  # (Y, 4, U)
+        grad = jax.lax.dot_general(
+            tmp2, mat_b, (((2,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+        )  # (Y, 4, X)
+        grad = jnp.where(go, jnp.transpose(grad, (1, 0, 2)), 0.0)
+
+        trans = trans * att
+        if early_stop_eps > 0.0:
+            tmax = jnp.where(go, jnp.max(trans), tmax)
+        return (trans, cpre, tmax), grad
+
+    # See sweep_fwd_xla: inits derive from dt_map for shard_map varying.
+    init = (
+        jnp.ones((n_v, n_u), dtype) + 0.0 * dt_map,
+        jnp.zeros((3, n_v, n_u), dtype) + 0.0 * dt_map,
+        jnp.asarray(1.0, dtype) + 0.0 * jnp.max(dt_map),
+    )
+    _, grads = jax.lax.scan(step, init, (slices, ay, by, ax, bx, en))
+    # grads are in traversal order; restore grid slice order.
+    if reverse:
+        grads = grads[::-1]
+    return grads

@@ -1,0 +1,284 @@
+"""Sweep geometry: factor a camera into per-slice separable resamples.
+
+This is the TPU-native replacement for the reference's per-pixel ray setup
+(reconstructed camera/ray code, SURVEY.md §2.1), built on the shear-warp
+factorization: in the permuted grid space (sweep axis last -> dim 0 of the
+grid), every ray is parameterized by its intersection ``(u, v)`` with the
+base plane (sweep coordinate 0). For both camera models the sample position
+on plane ``p`` is then *affine in the lattice index* and identical for all
+rays sharing a row/column:
+
+  orthographic:  pos_x(j, p) = u_j + p * dx/dz            (translation)
+  perspective:   pos_x(j, p) = u_j * s_p + ex * (1 - s_p) (scale+translate)
+                 with s_p = 1 - p/ez   (eye at (ex, ey, ez))
+
+so each march step is a separable slice resample — two banded interpolation
+matrices applied with MXU matmuls in the Pallas kernel (tpuvr/kernels/sweep
+.py) — instead of a per-ray trilinear gather (TPU has no texture units;
+gathers are its weak spot, SURVEY.md §6).
+
+The intermediate image is computed on a regular (u, v) lattice of base-plane
+rays. When the pixel->base-plane map is itself a separable regular lattice
+(axis-aligned cameras without roll) the intermediate image *is* the final
+image. Otherwise a final 2D bilinear warp resamples intermediate rays to
+pixel rays (:func:`warp_to_pixels`), outside the hot loop and fully
+differentiable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvr.ref.camera import OrthoCamera, PerspectiveCamera, _basis
+from tpuvr.ref.march import GRID_PERM, PT_PERM
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepPlan:
+    """Static description of a sweep render (hashable; jit-static).
+
+    Attributes:
+      axis: sweep axis in (x=0, y=1, z=2).
+      n_planes: number of planes (grid extent along axis).
+      reverse: True if rays traverse planes in decreasing index order.
+      lattice: (u0, du, v0, dv) base-plane lattice.
+      n_u/n_v: intermediate image resolution.
+      separable: True if the intermediate lattice equals the pixel grid
+        (no final warp needed).
+      ortho: True for orthographic cameras.
+      cam_params: per-model parameters (ortho: (sx, sy) plane shear per unit
+        plane index; perspective: permuted eye (ex, ey, ez)).
+    """
+
+    axis: int
+    n_planes: int
+    reverse: bool
+    lattice: Tuple[float, float, float, float]
+    n_u: int
+    n_v: int
+    separable: bool
+    ortho: bool
+    cam_params: Tuple[float, ...]
+
+
+def _permuted_camera(cam, axis: int):
+    """Camera basis and position with (x, y, z) permuted for the sweep."""
+    pp = list(PT_PERM[axis])
+    r, u, f = _basis(cam.forward, cam.up)
+    r, u, f = r[pp], u[pp], f[pp]
+    if isinstance(cam, OrthoCamera):
+        pos = np.asarray(cam.center, dtype=np.float64)[pp]
+    else:
+        pos = np.asarray(cam.eye, dtype=np.float64)[pp]
+    return r, u, f, pos
+
+
+def plan_sweep(cam, grid_shape, axis: int, oversample: float = 1.0):
+    """Build the :class:`SweepPlan` for a camera over a (Z, Y, X, C) grid.
+
+    All computation is host-side float64 numpy: cameras are static.
+
+    Returns:
+      (plan, uv_pixel): ``uv_pixel`` is None when separable, else an
+      (res_y, res_x, 2) float64 numpy array of each pixel ray's base-plane
+      (u, v) for the final warp.
+    """
+    dims_p = [grid_shape[d] for d in GRID_PERM[axis][:3]]  # (S, Y, X)
+    n_planes = dims_p[0]
+    r, u, f, pos = _permuted_camera(cam, axis)
+    if abs(f[2]) < 1e-6:
+        raise ValueError("sweep axis must not be perpendicular to view dir")
+    reverse = f[2] < 0
+
+    # Pixel-corner NDC offsets (centers), v up.
+    res_x, res_y = cam.res_x, cam.res_y
+    jj = (np.arange(res_x) + 0.5) / res_x * 2.0 - 1.0
+    ii = 1.0 - (np.arange(res_y) + 0.5) / res_y * 2.0
+    uu, vv = np.meshgrid(jj, ii)
+
+    if isinstance(cam, OrthoCamera):
+        o = (
+            pos[None, None, :]
+            + uu[..., None] * (cam.width * 0.5) * r
+            + vv[..., None] * (cam.height * 0.5) * u
+        )
+        d = np.broadcast_to(f, o.shape)
+        ortho = True
+        cam_params = (float(f[0] / f[2]), float(f[1] / f[2]))
+    elif isinstance(cam, PerspectiveCamera):
+        t = np.tan(cam.fov_y * 0.5)
+        aspect = res_x / res_y
+        d = f + uu[..., None] * (t * aspect) * r + vv[..., None] * t * u
+        o = np.broadcast_to(pos, d.shape)
+        ortho = False
+        if 0.0 <= pos[2] <= n_planes - 1:
+            raise ValueError(
+                "perspective eye inside the sweep slab is unsupported"
+            )
+        cam_params = (float(pos[0]), float(pos[1]), float(pos[2]))
+    else:
+        raise TypeError(f"unknown camera type: {type(cam)}")
+
+    # Base-plane intersection of every pixel ray: p + t*d with z = 0.
+    tt = (0.0 - o[..., 2]) / d[..., 2]
+    base_u = o[..., 0] + d[..., 0] * tt
+    base_v = o[..., 1] + d[..., 1] * tt
+
+    # Separable iff u varies only along image columns and v only along rows,
+    # both with uniform spacing.
+    du_col = np.diff(base_u, axis=1)
+    dv_row = np.diff(base_v, axis=0)
+    separable = (
+        np.ptp(base_u, axis=0).max() < 1e-9 * max(1.0, np.abs(base_u).max())
+        and np.ptp(base_v, axis=1).max()
+        < 1e-9 * max(1.0, np.abs(base_v).max())
+        and np.ptp(du_col) < 1e-9 * max(1.0, np.abs(du_col).max())
+        and np.ptp(dv_row) < 1e-9 * max(1.0, np.abs(dv_row).max())
+    )
+
+    if separable:
+        n_u, n_v = res_x, res_y
+        u0, du = float(base_u[0, 0]), float(du_col[0, 0])
+        v0, dv = float(base_v[0, 0]), float(dv_row[0, 0])
+        uv_pixel = None
+    else:
+        n_u = int(round(res_x * oversample))
+        n_v = int(round(res_y * oversample))
+        # Lattice covers every pixel ray's base point (half-texel margin so
+        # the warp never extrapolates).
+        umin, umax = float(base_u.min()), float(base_u.max())
+        vmin, vmax = float(base_v.min()), float(base_v.max())
+        du = (umax - umin) / max(n_u - 1, 1)
+        dv = (vmax - vmin) / max(n_v - 1, 1)
+        u0, v0 = umin, vmin
+        uv_pixel = np.stack([base_u, base_v], axis=-1)
+
+    plan = SweepPlan(
+        axis=axis,
+        n_planes=n_planes,
+        reverse=bool(reverse),
+        lattice=(u0, du, v0, dv),
+        n_u=n_u,
+        n_v=n_v,
+        separable=bool(separable),
+        ortho=ortho,
+        cam_params=cam_params,
+    )
+    return plan, uv_pixel
+
+
+def slice_coeffs(plan: SweepPlan, dtype=jnp.float32):
+    """Per-traversal-step affine coefficients, as four (S,) arrays.
+
+    For traversal step ``k`` visiting plane ``p(k)`` (ascending or reversed
+    per ``plan.reverse``), the sample position of intermediate ray column
+    ``j`` is ``pos_x = j * ax[k] + bx[k]`` and of row ``i`` is
+    ``pos_y = i * ay[k] + by[k]``.
+    """
+    u0, du, v0, dv = plan.lattice
+    s = plan.n_planes
+    p = np.arange(s, dtype=np.float64)
+    if plan.reverse:
+        p = p[::-1]
+    if plan.ortho:
+        sx, sy = plan.cam_params
+        ax = np.full(s, du)
+        bx = u0 + p * sx
+        ay = np.full(s, dv)
+        by = v0 + p * sy
+    else:
+        ex, ey, ez = plan.cam_params
+        sp = 1.0 - p / ez
+        ax = du * sp
+        bx = u0 * sp + ex * (1.0 - sp)
+        ay = dv * sp
+        by = v0 * sp + ey * (1.0 - sp)
+    return tuple(
+        jnp.asarray(a, dtype=dtype) for a in (ay, by, ax, bx)
+    )
+
+
+def ray_dt(plan: SweepPlan, dtype=jnp.float32):
+    """Per-intermediate-ray step length (n_v, n_u), unit-speed rays.
+
+    The march samples consecutive integer planes, so the per-ray segment
+    length is the constant ``1/|d_z|`` of the unit direction — matching
+    ``tpuvr.ref.march.render_plane_sweep``.
+    """
+    u0, du, v0, dv = plan.lattice
+    uj = u0 + du * np.arange(plan.n_u, dtype=np.float64)
+    vi = v0 + dv * np.arange(plan.n_v, dtype=np.float64)
+    uu, vv = np.meshgrid(uj, vi)
+    if plan.ortho:
+        sx, sy = plan.cam_params
+        # Unit direction z-component: 1/sqrt(1 + sx^2 + sy^2).
+        dt = np.full_like(uu, np.sqrt(1.0 + sx * sx + sy * sy))
+    else:
+        ex, ey, ez = plan.cam_params
+        dt = np.sqrt((uu - ex) ** 2 + (vv - ey) ** 2 + ez * ez) / abs(ez)
+    return jnp.asarray(dt, dtype=dtype)
+
+
+def intermediate_rays(plan: SweepPlan, dtype=jnp.float64):
+    """Origins/dirs of the intermediate-lattice rays (oracle comparison).
+
+    Rays are expressed in *permuted* space with origins pushed in front of
+    the slab so every plane crossing has t > 0; pair with
+    ``render_plane_sweep(grid_permuted, ..., axis=2)``.
+    """
+    u0, du, v0, dv = plan.lattice
+    uj = u0 + du * np.arange(plan.n_u, dtype=np.float64)
+    vi = v0 + dv * np.arange(plan.n_v, dtype=np.float64)
+    uu, vv = np.meshgrid(uj, vi)
+    base = np.stack([uu, vv, np.zeros_like(uu)], axis=-1)
+    if plan.ortho:
+        sx, sy = plan.cam_params
+        sign = -1.0 if plan.reverse else 1.0
+        d = np.asarray([sx, sy, 1.0]) * sign
+        d = d / np.linalg.norm(d)
+        d = np.broadcast_to(d, base.shape)
+        o = base - d * (4.0 * plan.n_planes)
+    else:
+        ex, ey, ez = plan.cam_params
+        eye = np.asarray([ex, ey, ez])
+        d = base - eye
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        o = np.broadcast_to(eye, base.shape)
+    return jnp.asarray(o, dtype=dtype), jnp.asarray(d, dtype=dtype)
+
+
+def warp_to_pixels(intermediate, plan: SweepPlan, uv_pixel):
+    """Bilinearly resample the intermediate image at pixel base points.
+
+    Args:
+      intermediate: (n_v, n_u, C) intermediate-ray image.
+      plan: the sweep plan.
+      uv_pixel: (res_y, res_x, 2) pixel base-plane coords from
+        :func:`plan_sweep` (None => identity).
+
+    Returns:
+      (res_y, res_x, C) pixel image. Linear in ``intermediate`` => exact
+      VJP via autodiff.
+    """
+    if uv_pixel is None:
+        return intermediate
+    u0, du, v0, dv = plan.lattice
+    uvp = jnp.asarray(uv_pixel, dtype=intermediate.dtype)
+    x = (uvp[..., 0] - u0) / du
+    y = (uvp[..., 1] - v0) / dv
+    x0 = jnp.clip(jnp.floor(x), 0, plan.n_u - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, plan.n_v - 2).astype(jnp.int32)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    g = intermediate
+    out = (
+        g[y0, x0] * ((1 - fy) * (1 - fx))[..., None]
+        + g[y0, x0 + 1] * ((1 - fy) * fx)[..., None]
+        + g[y0 + 1, x0] * (fy * (1 - fx))[..., None]
+        + g[y0 + 1, x0 + 1] * (fy * fx)[..., None]
+    )
+    return out

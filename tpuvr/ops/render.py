@@ -1,0 +1,100 @@
+"""User-facing differentiable render op (C1-C6; VJP added by tpuvr.ops.vjp).
+
+``render_view(grid, cam)`` is the TPU-native equivalent of the reference's
+``main -> enqueue render kernel -> read framebuffer`` path (SURVEY.md §3.1):
+it factors the camera into a sweep plan (host-side, trace-time), streams the
+grid through the Pallas sweep kernel, and applies the final pixel warp.
+Jit it with ``cam``/``cfg`` static::
+
+    step = jax.jit(render_view, static_argnames=("cam", "cfg"))
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from tpuvr.config import LightingConfig, RenderConfig
+from tpuvr.ops.geometry import (
+    plan_sweep,
+    ray_dt,
+    slice_coeffs,
+    warp_to_pixels,
+)
+from tpuvr.ops.vjp import resolve_impl, sweep_op
+from tpuvr.ref.camera import dominant_axis
+from tpuvr.ref.march import GRID_PERM
+
+
+def grid_to_sweep_layout(grid, axis: int):
+    """(Z, Y, X, 4) -> (S, 4, Y, X) kernel layout for the given sweep axis."""
+    grid_p = jnp.transpose(grid, GRID_PERM[axis])
+    return jnp.transpose(grid_p, (0, 3, 1, 2))
+
+
+def slice_enables(grid_sc, reverse: bool, use_occupancy: bool):
+    """Per-traversal-slice 0/1 compute flags from slice occupancy.
+
+    A slice whose max density is <= 0 contributes exactly nothing to the
+    march, so skipping it is lossless empty-space skipping (C6). The flags
+    feed kernel control flow only — gradients don't flow through them.
+    """
+    import jax
+
+    s = grid_sc.shape[0]
+    if not use_occupancy:
+        return jnp.ones((s,), dtype=grid_sc.dtype)
+    slice_max = jnp.max(grid_sc[:, 0, :, :], axis=(1, 2))
+    enables = (slice_max > 0.0).astype(grid_sc.dtype)
+    if reverse:
+        enables = enables[::-1]
+    return jax.lax.stop_gradient(enables)
+
+
+def render_view(
+    grid,
+    cam,
+    cfg: RenderConfig = RenderConfig(),
+    lighting: Optional[LightingConfig] = None,
+    impl: Optional[str] = None,
+):
+    """Render one view of a (Z, Y, X, 4) voxel grid with the sweep kernel.
+
+    Differentiable w.r.t. ``grid`` (custom VJP, recompute backward).
+
+    Args:
+      impl: 'pallas' (TPU kernels), 'xla' (scan fallback), or None/'auto'.
+
+    Returns:
+      (rgb (res_y, res_x, 3), transmittance (res_y, res_x)).
+    """
+    del lighting  # M5: folded in via the light volume.
+    axis = dominant_axis(cam)
+    plan, uv_pixel = plan_sweep(cam, grid.shape, axis)
+    dtype = grid.dtype
+    grid_sc = grid_to_sweep_layout(grid, axis)
+    coeffs = slice_coeffs(plan, dtype)
+    dt_map = ray_dt(plan, dtype)
+    enables = slice_enables(grid_sc, plan.reverse, cfg.use_occupancy)
+    op = sweep_op(
+        plan.reverse,
+        cfg.sigma_scale,
+        cfg.early_stop_eps,
+        resolve_impl(impl),
+    )
+    rgb, trans = op(grid_sc, coeffs, enables, dt_map)
+    inter = jnp.concatenate([rgb, trans[None]], axis=0)
+    inter = jnp.transpose(inter, (1, 2, 0))  # (V, U, 4)
+    img = warp_to_pixels(inter, plan, uv_pixel)
+    return img[..., :3], img[..., 3]
+
+
+def render(grid, cams, cfg: RenderConfig = RenderConfig(), **kw):
+    """Render a list of views; returns stacked (N, H, W, 3) and (N, H, W)."""
+    rgbs, ts = [], []
+    for cam in cams:
+        rgb, t = render_view(grid, cam, cfg, **kw)
+        rgbs.append(rgb)
+        ts.append(t)
+    return jnp.stack(rgbs), jnp.stack(ts)
