@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""tpuvr benchmark — judged metrics (BASELINE.json:2).
+
+Prints ONE JSON line to stdout:
+  {"metric": "rays/s/chip fwd 256^3", "value": N, "unit": "rays/s",
+   "vs_baseline": N, ...extras}
+
+vs_baseline is measured/5e7 — the BASELINE.json:5 target of 5e7 rays/s per
+*v5p* chip (this container's dev chip is a v5 lite; see BASELINE.md).
+
+Timing method: the axon dev tunnel makes naive block_until_ready timing
+untrustworthy (async queue returns early), so frames are chained through a
+data dependency and the wall clock closes over a host readback of the final
+frame. Human-readable details go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_fwd(jax, jnp, grid, cam, cfg, impl, min_wall=2.0):
+    from tpuvr.ops.render import render_view
+
+    @jax.jit
+    def step(g):
+        rgb, t = render_view(g, cam, cfg, impl=impl)
+        return g + jnp.mean(rgb) * 1e-12, rgb
+
+    g, rgb = step(grid)
+    np.asarray(rgb)  # compile + sync
+    iters = 4
+    while True:
+        g = grid
+        t0 = time.time()
+        for _ in range(iters):
+            g, rgb = step(g)
+        np.asarray(rgb)
+        wall = time.time() - t0
+        if wall >= min_wall or iters >= 4096:
+            return wall / iters
+        iters = int(iters * max(2, min(8, 1.2 * min_wall / max(wall, 1e-6))))
+
+
+def bench_fwd_bwd(jax, jnp, grid, cam, cfg, impl, min_wall=2.0):
+    from tpuvr.ops.render import render_view
+
+    def loss(g):
+        rgb, t = render_view(g, cam, cfg, impl=impl)
+        return jnp.mean((rgb - 0.25) ** 2)
+
+    @jax.jit
+    def step(g):
+        val, grads = jax.value_and_grad(loss)(g)
+        return g + grads * 1e-12, val
+
+    g, val = step(grid)
+    np.asarray(val)
+    iters = 4
+    while True:
+        g = grid
+        t0 = time.time()
+        for _ in range(iters):
+            g, val = step(g)
+        np.asarray(val)
+        wall = time.time() - t0
+        if wall >= min_wall or iters >= 4096:
+            return wall / iters
+        iters = int(iters * max(2, min(8, 1.2 * min_wall / max(wall, 1e-6))))
+
+
+def grad_accuracy(jax, jnp):
+    """Pixel-grad max abs err: custom-VJP (f32) vs f64 oracle autodiff."""
+    from tpuvr.io.synth import smoke_sphere
+    from tpuvr.ops.geometry import intermediate_rays, plan_sweep, ray_dt, \
+        slice_coeffs
+    from tpuvr.ops.vjp import sweep_op
+    from tpuvr.ref.camera import dominant_axis, look_at_perspective
+    from tpuvr.ref.march import GRID_PERM, render_plane_sweep
+
+    cpu = jax.devices("cpu")[0]
+    n, res = 24, 32
+    with jax.default_device(cpu):
+        grid64 = smoke_sphere(n, dtype=jnp.float64)
+        c = (n - 1) / 2.0
+        cam = look_at_perspective(
+            (c, c - 3.0 * n, c + 0.7 * n), (c, c, c), res_x=res, res_y=res
+        )
+        axis = dominant_axis(cam)
+        plan, _ = plan_sweep(cam, grid64.shape, axis)
+        o, d = intermediate_rays(plan, dtype=jnp.float64)
+
+        def loss64(gp):
+            rgb, _ = render_plane_sweep(gp, o, d, axis=2)
+            return jnp.sum(rgb)
+
+        gp64 = jnp.transpose(grid64, GRID_PERM[axis])
+        g_oracle = jax.grad(loss64)(gp64)  # (S, Y, X, 4) f64
+
+        grid32 = grid64.astype(jnp.float32)
+        gsc = jnp.transpose(
+            jnp.transpose(grid32, GRID_PERM[axis]), (0, 3, 1, 2)
+        )
+        coeffs = slice_coeffs(plan, jnp.float32)
+        dt_map = ray_dt(plan, jnp.float32)
+        enables = jnp.ones((plan.n_planes,), jnp.float32)
+        op = sweep_op(plan.reverse, 1.0, 0.0, "xla")
+
+        def loss32(g):
+            rgb, _ = op(g, coeffs, enables, dt_map)
+            return jnp.sum(rgb)
+
+        g_vjp = jax.grad(loss32)(gsc)  # (S, 4, Y, X) f32
+        err = jnp.max(jnp.abs(
+            jnp.transpose(g_vjp, (0, 2, 3, 1)).astype(jnp.float64)
+            - g_oracle
+        ))
+        return float(err)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvr.config import RenderConfig
+    from tpuvr.io.synth import smoke_sphere
+    from tpuvr.ops.vjp import resolve_impl
+    from tpuvr.ref.camera import OrthoCamera
+
+    impl = resolve_impl(None)
+    backend = jax.default_backend()
+    log(f"bench: backend={backend} impl={impl} devices={jax.devices()}")
+
+    n, res = 256, 512
+    if backend != "tpu":  # CPU smoke run of the bench itself
+        n, res = 32, 64
+    grid = smoke_sphere(n)
+    c = (n - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -2.0 * n), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.4 * n, height=1.4 * n,
+        res_x=res, res_y=res,
+    )
+    cfg = RenderConfig(early_stop_eps=1e-4)
+    rays = res * res
+
+    t_fwd = bench_fwd(jax, jnp, grid, cam, cfg, impl)
+    log(f"fwd: {t_fwd*1e3:.3f} ms/frame")
+    t_fb = bench_fwd_bwd(jax, jnp, grid, cam, cfg, impl)
+    log(f"fwd+bwd: {t_fb*1e3:.3f} ms/frame")
+    gerr = grad_accuracy(jax, jnp)
+    log(f"pixel-grad max abs err vs f64 oracle: {gerr:.3e}")
+
+    fwd_rays = rays / t_fwd
+    fb_rays = rays / t_fb
+    target = 5e7
+    out = {
+        "metric": f"rays/s/chip fwd {n}^3",
+        "value": round(fwd_rays, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(fwd_rays / target, 4),
+        "fwd_bwd_rays_per_s": round(fb_rays, 1),
+        "fwd_ms_per_frame": round(t_fwd * 1e3, 3),
+        "fwd_bwd_ms_per_frame": round(t_fb * 1e3, 3),
+        "pixel_grad_max_abs_err": gerr,
+        "grid": n,
+        "frame": res,
+        "backend": backend,
+        "impl": impl,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""End-to-end inverse rendering smoke test (C9; SURVEY.md §4).
+
+A tiny grid is recovered from synthetic posed views: loss must drop by a
+large factor and test-view PSNR must clear a gate. Also covers
+checkpoint/resume continuity (SURVEY.md §5 failure recovery).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvr.config import RenderConfig, TrainConfig
+from tpuvr.io.synth import orbit_cameras, smoke_sphere
+from tpuvr.train.fit import (
+    evaluate_psnr,
+    fit_grid,
+    params_to_grid,
+    render_all_views,
+)
+
+N = 12
+RES = 16
+
+
+def _scene():
+    grid_true = smoke_sphere(N)
+    cams = orbit_cameras(8, N, res=RES, elevation_deg=25.0)
+    targets = render_all_views(grid_true, cams)
+    return grid_true, cams, targets
+
+
+def test_fit_recovers_scene(tmp_path):
+    grid_true, cams, targets = _scene()
+    cfg = TrainConfig(
+        lr=5e-2, steps=150, views_per_batch=4, ckpt_every=0,
+        ckpt_dir=str(tmp_path), seed=0,
+    )
+    rcfg = RenderConfig(early_stop_eps=0.0)
+    grid, params, hist = fit_grid(
+        targets, cams, grid_true.shape, cfg, rcfg, run_dir=str(tmp_path)
+    )
+    first = np.mean(hist["loss"][:5])
+    last = np.mean(hist["loss"][-5:])
+    assert last < first * 0.05, (first, last)
+    assert evaluate_psnr(grid, cams, targets, rcfg) > 30.0
+    # Metrics JSONL written.
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_checkpoint_resume_continuity(tmp_path):
+    grid_true, cams, targets = _scene()
+    rcfg = RenderConfig(early_stop_eps=0.0)
+    cfg1 = TrainConfig(
+        lr=5e-2, steps=30, views_per_batch=4, ckpt_every=10,
+        ckpt_dir=str(tmp_path), seed=0,
+    )
+    _, params1, hist1 = fit_grid(
+        targets, cams, grid_true.shape, cfg1, rcfg, run_dir=str(tmp_path)
+    )
+    # Kill/restart: resume to 60 total steps from the saved state.
+    cfg2 = TrainConfig(
+        lr=5e-2, steps=60, views_per_batch=4, ckpt_every=10,
+        ckpt_dir=str(tmp_path), seed=0,
+    )
+    grid2, params2, hist2 = fit_grid(
+        targets, cams, grid_true.shape, cfg2, rcfg,
+        run_dir=str(tmp_path), resume=True,
+    )
+    # Resumed run continues from ~step 30 (not from scratch): its first
+    # losses must be near the pre-kill losses, far below a cold start.
+    assert hist2["loss"][0] < hist1["loss"][0] * 0.5
+    # And it keeps improving.
+    assert np.mean(hist2["loss"][-5:]) <= np.mean(hist1["loss"][-5:])

@@ -24,6 +24,29 @@ Layering (bottom-up): ref -> kernels -> ops -> dist -> train -> bench/cli.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Persist XLA compiles across processes (compiles on this dev setup go
+    through a remote helper at ~minutes each; the cache makes them one-time).
+    Disable with TPUVR_NO_CACHE=1."""
+    if _os.environ.get("TPUVR_NO_CACHE"):
+        return
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("TPUVR_CACHE_DIR", "/tmp/tpuvr_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax without these flags
+        pass
+
+
+_setup_compilation_cache()
+
 from tpuvr.config import (  # noqa: F401
     LightingConfig,
     MeshConfig,

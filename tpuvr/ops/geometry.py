@@ -251,6 +251,68 @@ def intermediate_rays(plan: SweepPlan, dtype=jnp.float64):
     return jnp.asarray(o, dtype=dtype), jnp.asarray(d, dtype=dtype)
 
 
+def view_geometry(cam, grid_shape, dtype=jnp.float32, oversample=1.0):
+    """Per-view sweep geometry as *arrays* (for batched training steps).
+
+    Unlike :func:`plan_sweep` + :func:`slice_coeffs` (static per-camera),
+    this packs everything dynamic into a dict of arrays so one compiled
+    train step can iterate over many views of the same (axis, reverse)
+    group (SURVEY.md §3.2: view minibatching):
+
+    Returns:
+      (axis, reverse, geom) with geom = {
+        'coeffs': (4, S) [ay, by, ax, bx],
+        'dt':     (V, U),
+        'lattice':(4,)   [u0, du, v0, dv],
+        'uv':     (H, W, 2) pixel base-plane coords (always present; the
+                  final warp is an exact identity when the camera is
+                  separable, so one code path serves both),
+      }
+    """
+    from tpuvr.ref.camera import dominant_axis
+
+    axis = dominant_axis(cam)
+    plan, uv_pixel = plan_sweep(cam, grid_shape, axis, oversample=oversample)
+    if uv_pixel is None:
+        # Separable: pixel base coords ARE the lattice points.
+        u0, du, v0, dv = plan.lattice
+        uj = u0 + du * np.arange(plan.n_u)
+        vi = v0 + dv * np.arange(plan.n_v)
+        uu, vv = np.meshgrid(uj, vi)
+        uv_pixel = np.stack([uu, vv], axis=-1)
+    ay, by, ax, bx = slice_coeffs(plan, dtype)
+    geom = {
+        "coeffs": jnp.stack([ay, by, ax, bx]),
+        "dt": ray_dt(plan, dtype),
+        "lattice": jnp.asarray(plan.lattice, dtype=dtype),
+        "uv": jnp.asarray(uv_pixel, dtype=dtype),
+    }
+    return axis, plan.reverse, geom
+
+
+def warp_to_pixels_dynamic(intermediate, lattice, uv_pixel):
+    """Bilinear pixel warp with the lattice as a traced (4,) array.
+
+    Same math as :func:`warp_to_pixels` but every per-view quantity is
+    data, so a single compiled program serves a whole view group.
+    """
+    n_v, n_u = intermediate.shape[0], intermediate.shape[1]
+    u0, du, v0, dv = lattice[0], lattice[1], lattice[2], lattice[3]
+    x = (uv_pixel[..., 0] - u0) / du
+    y = (uv_pixel[..., 1] - v0) / dv
+    x0 = jnp.clip(jnp.floor(x), 0, n_u - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, n_v - 2).astype(jnp.int32)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    g = intermediate
+    return (
+        g[y0, x0] * ((1 - fy) * (1 - fx))[..., None]
+        + g[y0, x0 + 1] * ((1 - fy) * fx)[..., None]
+        + g[y0 + 1, x0] * (fy * (1 - fx))[..., None]
+        + g[y0 + 1, x0 + 1] * (fy * fx)[..., None]
+    )
+
+
 def warp_to_pixels(intermediate, plan: SweepPlan, uv_pixel):
     """Bilinearly resample the intermediate image at pixel base points.
 

@@ -90,6 +90,66 @@ def render_view(
     return img[..., :3], img[..., 3]
 
 
+def render_with_geom(
+    grid,
+    geom,
+    axis: int,
+    reverse: bool,
+    cfg: RenderConfig = RenderConfig(),
+    impl: Optional[str] = None,
+    mesh=None,
+):
+    """Render from precomputed per-view geometry arrays (training path).
+
+    ``geom`` is the dict from :func:`tpuvr.ops.geometry.view_geometry`.
+    With ``mesh`` (a 1-D 'data' Mesh), intermediate-image rows are sharded
+    across devices inside shard_map and the grid stays replicated — the
+    C10 ray-tile DP; gradients w.r.t. grid psum automatically through
+    shard_map's transpose.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from tpuvr.ops.geometry import warp_to_pixels_dynamic
+
+    grid_sc = grid_to_sweep_layout(grid, axis)
+    enables = slice_enables(grid_sc, reverse, cfg.use_occupancy)
+    op = sweep_op(
+        reverse, cfg.sigma_scale, cfg.early_stop_eps, resolve_impl(impl)
+    )
+    coeffs = geom["coeffs"]
+    ay, by, ax, bx = coeffs[0], coeffs[1], coeffs[2], coeffs[3]
+    dt_map = geom["dt"]
+
+    if mesh is None:
+        rgb, trans = op(grid_sc, (ay, by, ax, bx), enables, dt_map)
+    else:
+        n_shards = mesh.shape["data"]
+        rows_local = dt_map.shape[0] // n_shards
+        if dt_map.shape[0] % n_shards:
+            raise ValueError(
+                f"intermediate rows {dt_map.shape[0]} not divisible by "
+                f"mesh size {n_shards}"
+            )
+
+        def local(grid_sc, ay, by, ax, bx, enables, dt_tile):
+            off = (jax.lax.axis_index("data") * rows_local).astype(
+                dt_tile.dtype
+            )
+            return op(grid_sc, (ay, by + off * ay, ax, bx), enables, dt_tile)
+
+        rgb, trans = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P("data", None)),
+            out_specs=(P(None, "data", None), P("data", None)),
+        )(grid_sc, ay, by, ax, bx, enables, dt_map)
+
+    inter = jnp.transpose(jnp.concatenate([rgb, trans[None]], 0), (1, 2, 0))
+    img = warp_to_pixels_dynamic(inter, geom["lattice"], geom["uv"])
+    return img[..., :3], img[..., 3]
+
+
 def render(grid, cams, cfg: RenderConfig = RenderConfig(), **kw):
     """Render a list of views; returns stacked (N, H, W, 3) and (N, H, W)."""
     rgbs, ts = [], []
