@@ -149,13 +149,16 @@ def main():
         up=(0.0, 1.0, 0.0), width=1.4 * n, height=1.4 * n,
         res_x=res, res_y=res,
     )
-    cfg = RenderConfig(early_stop_eps=1e-4)
     rays = res * res
+    cfg_hi = RenderConfig(early_stop_eps=1e-4, precision="highest")
+    cfg_fast = RenderConfig(early_stop_eps=1e-4, precision="default")
 
-    t_fwd = bench_fwd(jax, jnp, grid, cam, cfg, impl)
-    log(f"fwd: {t_fwd*1e3:.3f} ms/frame")
-    t_fb = bench_fwd_bwd(jax, jnp, grid, cam, cfg, impl)
-    log(f"fwd+bwd: {t_fb*1e3:.3f} ms/frame")
+    t_fwd = bench_fwd(jax, jnp, grid, cam, cfg_hi, impl)
+    log(f"fwd (f32): {t_fwd*1e3:.3f} ms/frame")
+    t_fwd_fast = bench_fwd(jax, jnp, grid, cam, cfg_fast, impl)
+    log(f"fwd (bf16 resample): {t_fwd_fast*1e3:.3f} ms/frame")
+    t_fb = bench_fwd_bwd(jax, jnp, grid, cam, cfg_hi, impl)
+    log(f"fwd+bwd (f32): {t_fb*1e3:.3f} ms/frame")
     gerr = grad_accuracy(jax, jnp)
     log(f"pixel-grad max abs err vs f64 oracle: {gerr:.3e}")
 
@@ -168,6 +171,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(fwd_rays / target, 4),
         "fwd_bwd_rays_per_s": round(fb_rays, 1),
+        "fwd_bf16_rays_per_s": round(rays / t_fwd_fast, 1),
         "fwd_ms_per_frame": round(t_fwd * 1e3, 3),
         "fwd_bwd_ms_per_frame": round(t_fb * 1e3, 3),
         "pixel_grad_max_abs_err": gerr,

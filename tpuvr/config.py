@@ -32,9 +32,14 @@ class RenderConfig:
       sigma_scale: global multiplier on density before alpha conversion.
       tmin: samples with ray parameter t <= tmin are ignored (rays start at
         their origin).
+      precision: matmul precision for the sweep resamples — 'highest'
+        (true f32; required for allclose vs the CPU oracle) or 'default'
+        (lets XLA demote to bf16 under --xla_allow_excess_precision;
+        ~5e-3 image error, ~2x faster).
     """
 
     mode: str = "plane_sweep"
+    precision: str = "highest"
     step_dt: float = 0.5
     max_steps: Optional[int] = None
     early_stop_eps: float = 1e-4

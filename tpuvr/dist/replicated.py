@@ -71,6 +71,7 @@ def render_view_dp(
         cfg.sigma_scale,
         cfg.early_stop_eps,
         resolve_impl(impl),
+        cfg.precision,
     )
 
     def local(grid_sc, ay, by, ax, bx, enables, dt_tile):

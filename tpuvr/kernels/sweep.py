@@ -37,6 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuvr.kernels._compat import use_interpret
 
 
+def dot_precision(precision: str):
+    import jax
+
+    return (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+
 def _interp_matrices(ay, by, ax, bx, n_v, n_y, n_x, n_u, dtype):
     """Banded linear-interp operators for one slice.
 
@@ -67,6 +74,7 @@ def _sweep_fwd_kernel(
     *,
     sigma_scale: float,
     early_stop_eps: float,
+    precision: str,
 ):
     k = pl.program_id(0)
     n_v, n_u = trans_ref.shape
@@ -91,9 +99,13 @@ def _sweep_fwd_kernel(
         # not Mosaic-lowerable): (V,Y)@(Y,X)@(X,U) per channel.
         sl = slice_ref[0]
 
+        prec = dot_precision(precision)
+
         def resample(c):
-            tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype)
-            return jnp.dot(tmp, mat_b, preferred_element_type=dtype)
+            tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype,
+                          precision=prec)
+            return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
+                           precision=prec)
 
         # Rectify after interpolation: negative raw density is vacuum.
         sigma = jnp.maximum(resample(0), 0.0)
@@ -112,7 +124,7 @@ def _sweep_fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "reverse", "sigma_scale", "early_stop_eps", "interpret"
+        "reverse", "sigma_scale", "early_stop_eps", "precision", "interpret"
     ),
 )
 def sweep_fwd(
@@ -124,6 +136,7 @@ def sweep_fwd(
     reverse: bool = False,
     sigma_scale: float = 1.0,
     early_stop_eps: float = 0.0,
+    precision: str = "highest",
     interpret: bool | None = None,
 ):
     """Run the forward sweep. Returns (rgb (3, V, U), trans (V, U)).
@@ -146,6 +159,7 @@ def sweep_fwd(
         _sweep_fwd_kernel,
         sigma_scale=float(sigma_scale),
         early_stop_eps=float(early_stop_eps),
+        precision=precision,
     )
     # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
     # kernels index them with program_id.

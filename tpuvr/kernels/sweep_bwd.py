@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuvr.kernels._compat import use_interpret
-from tpuvr.kernels.sweep import _interp_matrices
+from tpuvr.kernels.sweep import _interp_matrices, dot_precision
 
 
 def _sweep_bwd_kernel(
@@ -51,6 +51,7 @@ def _sweep_bwd_kernel(
     *,
     sigma_scale: float,
     early_stop_eps: float,
+    precision: str,
 ):
     k = pl.program_id(0)
     n_v, n_u = trans_ref.shape
@@ -73,21 +74,24 @@ def _sweep_bwd_kernel(
             n_v, n_y, n_x, n_u, dtype,
         )
         sl = slice_ref[0]
+        prec = dot_precision(precision)
 
         # Per-channel 2D matmuls (3D batched dots are not Mosaic-lowerable).
         def resample(c):
-            tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype)
-            return jnp.dot(tmp, mat_b, preferred_element_type=dtype)
+            tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype,
+                          precision=prec)
+            return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
+                           precision=prec)
 
         def grad_to_slice(d_vu):
             # A^T @ d @ B^T: (Y,V)@(V,U)@(U,X) via transposed contractions.
             tmp = jax.lax.dot_general(
                 mat_a, d_vu, (((0,), (0,)), ((), ())),
-                preferred_element_type=dtype,
+                preferred_element_type=dtype, precision=prec,
             )  # (Y, U)
             return jax.lax.dot_general(
                 tmp, mat_b, (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype,
+                preferred_element_type=dtype, precision=prec,
             )  # (Y, X)
 
         sig_raw = resample(0)
@@ -125,7 +129,8 @@ def _sweep_bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("reverse", "sigma_scale", "early_stop_eps", "interpret"),
+    static_argnames=("reverse", "sigma_scale", "early_stop_eps",
+                     "precision", "interpret"),
 )
 def sweep_bwd(
     grid_sc,     # (S, 4, Y, X)
@@ -140,6 +145,7 @@ def sweep_bwd(
     reverse: bool = False,
     sigma_scale: float = 1.0,
     early_stop_eps: float = 0.0,
+    precision: str = "highest",
     interpret: bool | None = None,
 ):
     """Gradient of the sweep w.r.t. the grid.
@@ -160,6 +166,7 @@ def sweep_bwd(
         _sweep_bwd_kernel,
         sigma_scale=float(sigma_scale),
         early_stop_eps=float(early_stop_eps),
+        precision=precision,
     )
     # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
     # kernels index them with program_id.

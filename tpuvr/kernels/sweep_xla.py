@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpuvr.kernels.sweep import _interp_matrices
+from tpuvr.kernels.sweep import _interp_matrices, dot_precision
 
 
 def _traversal(grid_sc, coeffs, enables, reverse):
@@ -31,31 +31,36 @@ def _traversal(grid_sc, coeffs, enables, reverse):
     return slices, ay, by, ax, bx, enables
 
 
-def _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype):
+def _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype, prec):
     n_y, n_x = sl.shape[1], sl.shape[2]
     mat_a, mat_b = _interp_matrices(
         ayk, byk, axk, bxk, n_v, n_y, n_x, n_u, dtype
     )
     tmp = jax.lax.dot_general(
-        mat_a, sl, (((1,), (1,)), ((), ())), preferred_element_type=dtype
+        mat_a, sl, (((1,), (1,)), ((), ())), preferred_element_type=dtype,
+        precision=prec,
     )
     smp = jax.lax.dot_general(
-        tmp, mat_b, (((2,), (0,)), ((), ())), preferred_element_type=dtype
+        tmp, mat_b, (((2,), (0,)), ((), ())), preferred_element_type=dtype,
+        precision=prec,
     )
     return smp, mat_a, mat_b
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("reverse", "sigma_scale", "early_stop_eps"),
+    static_argnames=("reverse", "sigma_scale", "early_stop_eps",
+                     "precision"),
 )
 def sweep_fwd_xla(
     grid_sc, coeffs, enables, dt_map,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
+    precision="highest",
 ):
     """Scan-based forward sweep. Returns (rgb (3, V, U), trans (V, U))."""
     dtype = grid_sc.dtype
     n_v, n_u = dt_map.shape
+    prec = dot_precision(precision)
     slices, ay, by, ax, bx, en = _traversal(
         grid_sc, coeffs, enables, reverse
     )
@@ -65,7 +70,7 @@ def sweep_fwd_xla(
         sl, ayk, byk, axk, bxk, enk = inp
         live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
         go = jnp.logical_and(enk > 0, live)
-        smp, _, _ = _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype)
+        smp, _, _ = _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype, prec)
         sigma = jnp.maximum(smp[:, 0, :], 0.0)
         att = jnp.exp(-(sigma_scale * sigma) * dt_map)
         att = jnp.where(go, att, 1.0)
@@ -90,11 +95,13 @@ def sweep_fwd_xla(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("reverse", "sigma_scale", "early_stop_eps"),
+    static_argnames=("reverse", "sigma_scale", "early_stop_eps",
+                     "precision"),
 )
 def sweep_bwd_xla(
     grid_sc, coeffs, enables, dt_map, c_final, t_final, d_color, d_trans,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
+    precision="highest",
 ):
     """Scan-based backward sweep (same formulas as the Pallas kernel).
 
@@ -102,6 +109,7 @@ def sweep_bwd_xla(
     """
     dtype = grid_sc.dtype
     n_v, n_u = dt_map.shape
+    prec = dot_precision(precision)
     slices, ay, by, ax, bx, en = _traversal(
         grid_sc, coeffs, enables, reverse
     )
@@ -112,7 +120,7 @@ def sweep_bwd_xla(
         live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
         go = jnp.logical_and(enk > 0, live)
         smp, mat_a, mat_b = _resample(
-            sl, ayk, byk, axk, bxk, n_v, n_u, dtype
+            sl, ayk, byk, axk, bxk, n_v, n_u, dtype, prec
         )
         sig_raw = smp[:, 0, :]
         sigma = jnp.maximum(sig_raw, 0.0)
@@ -134,11 +142,11 @@ def sweep_bwd_xla(
         dsmp = jnp.stack([dsig] + dsmp_c, axis=1)  # (V, 4, U)
         tmp2 = jax.lax.dot_general(
             mat_a, dsmp, (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype,
+            preferred_element_type=dtype, precision=prec,
         )  # (Y, 4, U)
         grad = jax.lax.dot_general(
             tmp2, mat_b, (((2,), (1,)), ((), ())),
-            preferred_element_type=dtype,
+            preferred_element_type=dtype, precision=prec,
         )  # (Y, 4, X)
         grad = jnp.where(go, jnp.transpose(grad, (1, 0, 2)), 0.0)
 

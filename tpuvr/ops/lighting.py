@@ -1,0 +1,190 @@
+"""Hemisphere-sampled single-scatter lighting (C4, BASELINE.json:9).
+
+The reference's lighting kernel marches N=16 secondary rays per primary
+sample (reconstructed ``kernels/*.cl`` lighting pass, SURVEY.md §2.1). A
+per-sample secondary march is a gather storm on TPU, so the TPU-native
+formulation precomputes a **light volume** once per grid update:
+
+  L(voxel) = sky_intensity * (1/N) * sum_w exp(-tau_w(voxel))
+
+where tau_w is the optical depth from the voxel to the sky along hemisphere
+direction w. Each directional tau is a slab sweep from the sky side
+inward — the recurrence
+
+  tau_k = shift_D(tau_{k+1} + dt * sigma_{k+1}),   D = (wx, wy)/|wz|
+
+is one bilinear *translation* resample per slice (two banded matmuls, the
+same machinery as the render sweep; zero-padding = vacuum outside). Note
+the recurrence re-resamples the accumulated tau every slice, which smooths
+oblique shadows slightly (the classic shear-warp shadow approximation —
+tau error up to a few tenths for steep density gradients; the exact
+per-sample marcher below is the quality reference). The
+16 directions are a deterministic Fibonacci hemisphere (no MC noise in
+tests, per SURVEY.md §4 "deterministic sample set => exact oracle").
+
+Lit rendering then multiplies L into the emission channels at the voxels
+(`apply_lighting`), so the primary sweep kernels are unchanged and the lit
+radiance field is still a single trilinear field. L is detached from
+gradients by default (detached-shadows; SURVEY.md §7 M5).
+
+The exact per-sample secondary marcher (`light_at_points_ref`) is kept as
+the tolerance oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvr.config import LightingConfig
+from tpuvr.kernels.sweep import _interp_matrices, dot_precision
+from tpuvr.ref.march import GRID_PERM, PT_PERM
+from tpuvr.ref.sample import trilinear
+
+
+def hemisphere_dirs(n: int, up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """Deterministic Fibonacci-spiral hemisphere directions around ``up``.
+
+    Returns (n, 3) unit vectors with dir . up > 0.
+    """
+    up = np.asarray(up, dtype=np.float64)
+    up = up / np.linalg.norm(up)
+    golden = (1.0 + math.sqrt(5.0)) / 2.0
+    i = np.arange(n, dtype=np.float64)
+    # Uniform on the hemisphere around +z.
+    z = (i + 0.5) / n          # cos(theta) in (0, 1)
+    phi = 2.0 * math.pi * i / golden
+    r = np.sqrt(1.0 - z * z)
+    local = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=-1)
+    # Rotate +z to `up`.
+    a = np.asarray([0.0, 0.0, 1.0])
+    if np.allclose(up, a):
+        rot = np.eye(3)
+    elif np.allclose(up, -a):
+        rot = np.diag([1.0, -1.0, -1.0])
+    else:
+        v = np.cross(a, up)
+        c = float(a @ up)
+        vx = np.asarray(
+            [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]]
+        )
+        rot = np.eye(3) + vx + vx @ vx / (1.0 + c)
+    return local @ rot.T
+
+
+def _directional_tau(sigma, w, precision="highest"):
+    """Optical depth to the sky along direction ``w`` for every voxel.
+
+    Args:
+      sigma: (Z, Y, X) density.
+      w: unit (x, y, z) direction pointing *toward the sky*.
+
+    Returns:
+      (Z, Y, X) tau field (same layout as sigma).
+    """
+    axis = int(np.argmax(np.abs(w)))
+    perm = GRID_PERM[axis][:3]
+    sig_p = jnp.transpose(sigma, perm)           # (S, Y, X)
+    wp = np.asarray(w, dtype=np.float64)[list(PT_PERM[axis])]
+    flip = wp[2] < 0
+    if flip:
+        sig_p = sig_p[::-1]
+    dz = abs(float(wp[2]))
+    d_x = float(wp[0]) / dz
+    d_y = float(wp[1]) / dz
+    dt = 1.0 / dz  # |w| == 1
+    s, n_y, n_x = sig_p.shape
+    dtype = sigma.dtype
+    prec = dot_precision(precision)
+
+    mat_a, mat_b = _interp_matrices(
+        jnp.asarray(1.0, dtype), jnp.asarray(d_y, dtype),
+        jnp.asarray(1.0, dtype), jnp.asarray(d_x, dtype),
+        n_y, n_y, n_x, n_x, dtype,
+    )
+
+    def shift(f):
+        # f(y + d_y, x + d_x), zero outside.
+        tmp = jnp.dot(mat_a, f, preferred_element_type=dtype,
+                      precision=prec)
+        return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
+                       precision=prec)
+
+    def step(tau_next, sig_next):
+        tau = shift(tau_next + dt * sig_next)
+        return tau, tau
+
+    # Sweep from the sky-side inward: plane S-1 sees only vacuum (tau 0);
+    # consuming sigma slices S-1..1 yields taus[i] = tau at plane S-2-i.
+    tau_init = jnp.zeros((n_y, n_x), dtype)
+    _, taus = jax.lax.scan(step, tau_init, sig_p[:0:-1])
+    tau_p = jnp.concatenate(
+        [taus[::-1], jnp.zeros((1, n_y, n_x), dtype)], axis=0
+    )  # (S, Y, X), tau_p[k] = tau at plane k
+    if flip:
+        tau_p = tau_p[::-1]
+    inv_perm = np.argsort(perm)
+    return jnp.transpose(tau_p, inv_perm)
+
+
+def light_volume(sigma, cfg: LightingConfig = LightingConfig(),
+                 precision: str = "highest"):
+    """Sky-light volume L (Z, Y, X): mean hemisphere transmittance."""
+    dirs = hemisphere_dirs(cfg.n_samples, cfg.up)
+    total = 0.0
+    for w in dirs:
+        total = total + jnp.exp(-_directional_tau(sigma, w, precision))
+    return (cfg.sky_intensity / cfg.n_samples) * total
+
+
+def apply_lighting(grid, cfg: LightingConfig = LightingConfig(),
+                   precision: str = "highest", detach: bool = True):
+    """Multiply the sky-light volume into the emission/albedo channels.
+
+    Returns a lit (Z, Y, X, 4) grid; density unchanged. With
+    ``detach=True`` (default) no gradient flows through the light volume
+    (detached shadows — the primary path stays fully differentiable).
+    """
+    ell = light_volume(grid[..., 0], cfg, precision)
+    if detach:
+        ell = jax.lax.stop_gradient(ell)
+    return jnp.concatenate(
+        [grid[..., :1], grid[..., 1:4] * ell[..., None]], axis=-1
+    )
+
+
+def light_at_points_ref(sigma, pts, cfg: LightingConfig = LightingConfig(),
+                        dt: float = 0.25):
+    """Exact per-sample hemisphere lighting (the tolerance oracle).
+
+    Marches N secondary rays per point with step ``dt`` through the
+    trilinear density field (support [-1, N] per axis).
+
+    Args:
+      sigma: (Z, Y, X) density.
+      pts: (..., 3) points (x, y, z).
+
+    Returns:
+      (...,) light values.
+    """
+    z_dim, y_dim, x_dim = sigma.shape
+    field = sigma[..., None]  # reuse trilinear's channel dim
+    dirs = hemisphere_dirs(cfg.n_samples, cfg.up)
+    diag = math.sqrt((x_dim + 1) ** 2 + (y_dim + 1) ** 2 + (z_dim + 1) ** 2)
+    n_steps = int(math.ceil(diag / dt)) + 1
+    total = 0.0
+    for w in dirs:
+        wj = jnp.asarray(w, dtype=sigma.dtype)
+
+        def body(i, tau):
+            p = pts + wj * ((i + 0.5) * dt)
+            return tau + dt * jnp.maximum(trilinear(field, p)[..., 0], 0.0)
+
+        tau = jax.lax.fori_loop(
+            0, n_steps, body, jnp.zeros(pts.shape[:-1], sigma.dtype)
+        )
+        total = total + jnp.exp(-tau)
+    return (cfg.sky_intensity / cfg.n_samples) * total

@@ -65,11 +65,18 @@ def render_view(
 
     Args:
       impl: 'pallas' (TPU kernels), 'xla' (scan fallback), or None/'auto'.
+      lighting: optional LightingConfig; mode='lightvolume' multiplies the
+        hemisphere sky-light volume into the emission channels before the
+        sweep (C4) — the lit radiance stays one trilinear field, so the
+        kernels are unchanged.
 
     Returns:
       (rgb (res_y, res_x, 3), transmittance (res_y, res_x)).
     """
-    del lighting  # M5: folded in via the light volume.
+    if lighting is not None and lighting.mode != "none":
+        from tpuvr.ops.lighting import apply_lighting
+
+        grid = apply_lighting(grid, lighting, cfg.precision)
     axis = dominant_axis(cam)
     plan, uv_pixel = plan_sweep(cam, grid.shape, axis)
     dtype = grid.dtype
@@ -82,6 +89,7 @@ def render_view(
         cfg.sigma_scale,
         cfg.early_stop_eps,
         resolve_impl(impl),
+        cfg.precision,
     )
     rgb, trans = op(grid_sc, coeffs, enables, dt_map)
     inter = jnp.concatenate([rgb, trans[None]], axis=0)
@@ -115,7 +123,8 @@ def render_with_geom(
     grid_sc = grid_to_sweep_layout(grid, axis)
     enables = slice_enables(grid_sc, reverse, cfg.use_occupancy)
     op = sweep_op(
-        reverse, cfg.sigma_scale, cfg.early_stop_eps, resolve_impl(impl)
+        reverse, cfg.sigma_scale, cfg.early_stop_eps, resolve_impl(impl),
+        cfg.precision,
     )
     coeffs = geom["coeffs"]
     ay, by, ax, bx = coeffs[0], coeffs[1], coeffs[2], coeffs[3]

@@ -32,12 +32,14 @@ def sweep_op(
     sigma_scale: float,
     early_stop_eps: float,
     impl: str,
+    precision: str = "highest",
 ):
     """Differentiable sweep: (grid_sc, coeffs, enables, dt_map) -> (rgb, T)."""
     kw = dict(
         reverse=reverse,
         sigma_scale=sigma_scale,
         early_stop_eps=early_stop_eps,
+        precision=precision,
     )
     if impl == "pallas":
         fwd_fn, bwd_fn = sweep_fwd, sweep_bwd
