@@ -81,12 +81,14 @@ def sweep_fwd_xla(
             tmax = jnp.where(go, jnp.max(trans), tmax)
         return (rgb, trans, tmax), None
 
-    # Derive carry inits from dt_map so they inherit its device-varying
-    # annotation under shard_map (a fresh jnp.zeros would be unvarying and
-    # fail scan's carry type check).
-    zero = jnp.zeros((3, n_v, n_u), dtype) + 0.0 * dt_map
-    one = jnp.ones((n_v, n_u), dtype) + 0.0 * dt_map
-    init = (zero, one, jnp.asarray(1.0, dtype) + 0.0 * jnp.max(dt_map))
+    # Derive carry inits from the inputs so they inherit every mesh axis'
+    # device-varying annotation under shard_map (dt_map varies over 'data'
+    # row tiles, coeffs over 'z' slabs); a fresh jnp.zeros would be
+    # unvarying and fail scan's carry type check.
+    poison = 0.0 * (jnp.max(dt_map) + jnp.max(ay))
+    zero = jnp.zeros((3, n_v, n_u), dtype) + poison
+    one = jnp.ones((n_v, n_u), dtype) + poison
+    init = (zero, one, jnp.asarray(1.0, dtype) + poison)
     (rgb, trans, _), _ = jax.lax.scan(
         step, init, (slices, ay, by, ax, bx, en)
     )
@@ -155,11 +157,12 @@ def sweep_bwd_xla(
             tmax = jnp.where(go, jnp.max(trans), tmax)
         return (trans, cpre, tmax), grad
 
-    # See sweep_fwd_xla: inits derive from dt_map for shard_map varying.
+    # See sweep_fwd_xla: inits inherit all varying mesh axes.
+    poison = 0.0 * (jnp.max(dt_map) + jnp.max(ay) + jnp.max(c_final))
     init = (
-        jnp.ones((n_v, n_u), dtype) + 0.0 * dt_map,
-        jnp.zeros((3, n_v, n_u), dtype) + 0.0 * dt_map,
-        jnp.asarray(1.0, dtype) + 0.0 * jnp.max(dt_map),
+        jnp.ones((n_v, n_u), dtype) + poison,
+        jnp.zeros((3, n_v, n_u), dtype) + poison,
+        jnp.asarray(1.0, dtype) + poison,
     )
     _, grads = jax.lax.scan(step, init, (slices, ay, by, ax, bx, en))
     # grads are in traversal order; restore grid slice order.
