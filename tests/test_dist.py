@@ -47,3 +47,32 @@ def test_dryrun_multichip_runs():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dp_training_matches_single_device(grid, devices8, tmp_path):
+    """C10: the ray-sharded, bucketed-psum train step produces the same
+    loss trajectory as the single-device step."""
+    import numpy as np
+
+    from tpuvr.config import TrainConfig
+    from tpuvr.io.synth import orbit_cameras
+    from tpuvr.train.fit import fit_grid, render_all_views
+
+    cams = orbit_cameras(4, N, res=RES, elevation_deg=25.0)
+    targets = render_all_views(grid, cams)
+    cfg = TrainConfig(lr=5e-2, steps=8, views_per_batch=2, ckpt_every=0,
+                      seed=3)
+    rcfg = RenderConfig(early_stop_eps=0.0)
+    _, _, hist_1 = fit_grid(
+        targets, cams, grid.shape, cfg, rcfg,
+        run_dir=str(tmp_path / "a"),
+    )
+    mesh = data_mesh(8)
+    _, _, hist_dp = fit_grid(
+        targets, cams, grid.shape, cfg, rcfg, mesh=mesh,
+        run_dir=str(tmp_path / "b"),
+    )
+    # f32 reduction-order differences (bucketed psum, sharded accumulation)
+    # bound the trajectory gap at ~1e-3 relative.
+    np.testing.assert_allclose(hist_dp["loss"], hist_1["loss"],
+                               rtol=2e-3, atol=1e-6)

@@ -81,25 +81,107 @@ def make_train_step(
     density_softplus: bool,
     impl: Optional[str],
     mesh,
+    grad_buckets: int = 4,
 ):
-    """One jitted train step for a view group (axis, reverse static)."""
+    """One jitted train step for a view group (axis, reverse static).
+
+    Without a mesh: plain value_and_grad over the view minibatch.
+
+    With a 'data' mesh (C10): the whole forward+backward runs inside
+    shard_map with each device sweeping its row tile of every view's
+    intermediate image; the (small) intermediate images are all_gather'd
+    for the pixel warp + loss, and the grid gradient is all-reduced in
+    ``grad_buckets`` bucketed psums so XLA can overlap early buckets with
+    remaining backward work (BASELINE.json:5 "overlapped with the backward
+    sweep").
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from tpuvr.dist.init import bucketed_psum_grads
+    from tpuvr.ops.geometry import warp_to_pixels_dynamic
+    from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
+    from tpuvr.ops.vjp import resolve_impl, sweep_op
+
     axis, reverse = key
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, geom_batch, targets):
-        def loss_fn(params):
+    if mesh is None:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, geom_batch, targets):
+            def loss_fn(params):
+                grid = params_to_grid(params, density_softplus)
+                total = 0.0
+                for i in range(n_views):
+                    geom_i = jax.tree.map(lambda a: a[i], geom_batch)
+                    rgb, _ = render_with_geom(
+                        grid, geom_i, axis, reverse, render_cfg, impl=impl
+                    )
+                    total = total + jnp.mean((rgb - targets[i]) ** 2)
+                return total / n_views
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    n_shards = mesh.shape["data"]
+    op = sweep_op(
+        reverse, render_cfg.sigma_scale, render_cfg.early_stop_eps,
+        resolve_impl(impl), render_cfg.precision,
+    )
+
+    def local(params, geom_batch, targets):
+        dtype = params.dtype
+        rows_local = geom_batch["dt"].shape[1]
+        row_off = (jax.lax.axis_index("data") * rows_local).astype(dtype)
+
+        def loss_local(params):
             grid = params_to_grid(params, density_softplus)
+            grid_sc = grid_to_sweep_layout(grid, axis)
+            enables = slice_enables(
+                grid_sc, reverse, render_cfg.use_occupancy
+            )
             total = 0.0
             for i in range(n_views):
                 geom_i = jax.tree.map(lambda a: a[i], geom_batch)
-                rgb, _ = render_with_geom(
-                    grid, geom_i, axis, reverse, render_cfg,
-                    impl=impl, mesh=mesh,
+                c = geom_i["coeffs"]
+                ay, by, ax, bx = c[0], c[1], c[2], c[3]
+                rgb_t, t_t = op(
+                    grid_sc, (ay, by + row_off * ay, ax, bx),
+                    enables, geom_i["dt"],
                 )
-                total = total + jnp.mean((rgb - targets[i]) ** 2)
+                inter_t = jnp.transpose(
+                    jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0)
+                )  # (rows_local, U, 4)
+                inter = jax.lax.all_gather(
+                    inter_t, "data", axis=0, tiled=True
+                )  # (V, U, 4)
+                img = warp_to_pixels_dynamic(
+                    inter, geom_i["lattice"], geom_i["uv"]
+                )[..., :3]
+                total = total + jnp.mean((img - targets[i]) ** 2)
             return total / n_views
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_local)(params)
+        grads = bucketed_psum_grads(grads, "data", grad_buckets)
+        return loss, grads
+
+    geom_specs = {
+        "coeffs": P(), "dt": P(None, "data", None),
+        "lattice": P(), "uv": P(),
+    }
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, geom_batch, targets):
+        loss, grads = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), geom_specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, geom_batch, targets)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
