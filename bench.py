@@ -159,11 +159,16 @@ def main():
     log(f"fwd (bf16 resample): {t_fwd_fast*1e3:.3f} ms/frame")
     t_fb = bench_fwd_bwd(jax, jnp, grid, cam, cfg_hi, impl)
     log(f"fwd+bwd (f32): {t_fb*1e3:.3f} ms/frame")
+    t_fb_fast = bench_fwd_bwd(jax, jnp, grid, cam, cfg_fast, impl)
+    log(f"fwd+bwd (bf16 resample): {t_fb_fast*1e3:.3f} ms/frame")
     gerr = grad_accuracy(jax, jnp)
     log(f"pixel-grad max abs err vs f64 oracle: {gerr:.3e}")
 
-    fwd_rays = rays / t_fwd
-    fb_rays = rays / t_fb
+    # Headline: the production render mode (bf16 resample matmuls, f32
+    # compositing state). The 'highest'-precision oracle mode is reported
+    # alongside.
+    fwd_rays = rays / t_fwd_fast
+    fb_rays = rays / t_fb_fast
     target = 5e7
     out = {
         "metric": f"rays/s/chip fwd {n}^3",
@@ -171,9 +176,12 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(fwd_rays / target, 4),
         "fwd_bwd_rays_per_s": round(fb_rays, 1),
-        "fwd_bf16_rays_per_s": round(rays / t_fwd_fast, 1),
-        "fwd_ms_per_frame": round(t_fwd * 1e3, 3),
-        "fwd_bwd_ms_per_frame": round(t_fb * 1e3, 3),
+        "fwd_f32_rays_per_s": round(rays / t_fwd, 1),
+        "fwd_bwd_f32_rays_per_s": round(rays / t_fb, 1),
+        "fwd_ms_per_frame": round(t_fwd_fast * 1e3, 3),
+        "fwd_bwd_ms_per_frame": round(t_fb_fast * 1e3, 3),
+        "fwd_f32_ms_per_frame": round(t_fwd * 1e3, 3),
+        "fwd_bwd_f32_ms_per_frame": round(t_fb * 1e3, 3),
         "pixel_grad_max_abs_err": gerr,
         "grid": n,
         "frame": res,

@@ -39,6 +39,31 @@ def test_ray_tile_count_independence(devices8):
         np.testing.assert_allclose(t, t_ref, atol=1e-6)
 
 
+def test_row_chunk_independence():
+    # Row-chunked sweep calls (VMEM bounding for big frames) must not
+    # change the image or the grid gradient.
+    import dataclasses
+
+    grid = smoke_sphere(N)
+    cam = _cam()
+    ref, t_ref = render_view(grid, cam, CFG)
+
+    def loss(g, cfg):
+        rgb, t = render_view(g, cam, cfg)
+        return jnp.sum(rgb * rgb) + jnp.sum(t)
+
+    g_ref = jax.grad(loss)(grid, CFG)
+    # Chunking computes row positions as (by + r0*ay) + v*ay instead of
+    # by + (r0+v)*ay — one extra f32 rounding, hence the 1e-5 tolerance.
+    for rows in (4, 8):
+        cfg = dataclasses.replace(CFG, max_rows_per_call=rows)
+        rgb, t = render_view(grid, cam, cfg)
+        np.testing.assert_allclose(rgb, ref, atol=1e-5)
+        np.testing.assert_allclose(t, t_ref, atol=1e-5)
+        np.testing.assert_allclose(jax.grad(loss)(grid, cfg), g_ref,
+                                   atol=1e-5)
+
+
 def test_view_batch_grad_additivity():
     # Gradient of a sum of view losses == sum of per-view gradients: the
     # minibatch composition cannot change optimization direction.

@@ -107,6 +107,22 @@ def cmd_bench(args):
 
     cfg = _load_config(args.config, args.scale)
     grid, cam = _scene_and_camera(cfg)
+    if args.profile:
+        # Tracing/profiling subsystem (SURVEY.md §5): dump an xprof trace
+        # of one warm frame for per-kernel cost attribution (the
+        # TPU-native replacement for the reference's OpenCL event
+        # profiling). View with TensorBoard's profile plugin.
+        import jax
+
+        from tpuvr.ops.render import render_view
+
+        rgb, trans = render_view(grid, cam, cfg["render"], impl=args.impl)
+        rgb.block_until_ready()
+        with jax.profiler.trace(args.profile):
+            rgb, trans = render_view(grid, cam, cfg["render"],
+                                     impl=args.impl)
+            rgb.block_until_ready()
+        print(json.dumps({"trace_dir": args.profile}))
     rows = scaling_table(grid, cam, cfg["render"], impl=args.impl)
     for row in rows:
         print(json.dumps(row))
@@ -179,6 +195,8 @@ def main(argv=None):
     sp = sub.add_parser("bench", help="rays/s + roofline + scaling")
     common(sp)
     sp.add_argument("--chip", default="v5e")
+    sp.add_argument("--profile", default=None, metavar="DIR",
+                    help="dump a jax.profiler xprof trace of one frame")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("gradcheck", help="finite-difference gradcheck")

@@ -36,6 +36,9 @@ class RenderConfig:
         (true f32; required for allclose vs the CPU oracle) or 'default'
         (lets XLA demote to bf16 under --xla_allow_excess_precision;
         ~5e-3 image error, ~2x faster).
+      max_rows_per_call: intermediate-image rows per sweep kernel call;
+        larger frames are row-chunked (tpuvr.ops.vjp.chunked_sweep) to
+        bound resident VMEM. None disables chunking.
     """
 
     mode: str = "plane_sweep"
@@ -47,6 +50,7 @@ class RenderConfig:
     occupancy_brick: int = 8
     sigma_scale: float = 1.0
     tmin: float = 0.0
+    max_rows_per_call: Optional[int] = 512
 
 
 @dataclasses.dataclass(frozen=True)

