@@ -129,3 +129,18 @@ def test_lit_render_gradients_flow():
     grads = jax.grad(loss)(g)
     assert bool(jnp.all(jnp.isfinite(grads)))
     assert float(jnp.linalg.norm(grads)) > 0.0
+
+
+def test_tau_sweep_pallas_matches_xla():
+    # The Pallas directional-tau kernel (tpuvr/kernels/lighting.py) must
+    # match the lax.scan twin for axis-aligned and oblique directions.
+    sig = smoke_sphere(12)[..., 0]
+    for w in (
+        np.asarray([0.0, 0.0, 1.0]),
+        np.asarray([0.3, -0.2, 0.9]) / np.linalg.norm([0.3, -0.2, 0.9]),
+        np.asarray([0.1, 0.9, -0.4]) / np.linalg.norm([0.1, 0.9, -0.4]),
+    ):
+        tau_x = _directional_tau(sig, w, impl="xla")
+        tau_p = _directional_tau(sig, w, impl="pallas")
+        np.testing.assert_allclose(np.asarray(tau_p), np.asarray(tau_x),
+                                   atol=1e-5)

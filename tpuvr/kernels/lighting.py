@@ -1,0 +1,112 @@
+"""Pallas directional-tau sweep for the single-scatter light volume (C4).
+
+The reference's lighting pass is a per-sample secondary OpenCL march
+(reconstructed ``kernels/*.cl`` lighting kernel, SURVEY.md §2.1). The
+TPU-native light volume (tpuvr/ops/lighting.py) instead sweeps optical
+depth from the sky side inward, one fractional-translation resample per
+slice:
+
+  tau_k = shift_D(tau_{k+1} + dt * relu(sigma_{k+1})),  D = (wx, wy)/|wz|
+
+This kernel is that recurrence as a Pallas slice sweep — the grid walks
+planes from the sky inward (sequential on TPU), tau lives in VMEM scratch,
+the shift is the same two banded interp matmuls as the render sweep, and
+each plane's tau is written out exactly once. It is the lighting twin of
+``tpuvr/kernels/sweep.py`` and matches the XLA ``lax.scan`` formulation in
+``tpuvr.ops.lighting._directional_tau`` bit-for-bit in spirit (f32
+roundoff in practice).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuvr.kernels._compat import use_interpret
+from tpuvr.kernels.sweep import _interp_matrices, dot_precision
+
+
+def _tau_sweep_kernel(
+    sig_ref,    # (1, Y, X) density plane k_sky = S-1-step (sky side first)
+    tau_ref,    # out (1, Y, X): tau at plane S-2-step (below the consumed
+                # plane); the sky-side plane's zero tau is added outside
+    acc_ref,    # scratch (Y, X): running tau
+    *,
+    d_y: float,
+    d_x: float,
+    dt: float,
+    precision: str,
+):
+    step = pl.program_id(0)
+    n_y, n_x = acc_ref.shape
+    dtype = acc_ref.dtype
+
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    prec = dot_precision(precision)
+    mat_a, mat_b = _interp_matrices(
+        jnp.asarray(1.0, dtype), jnp.asarray(d_y, dtype),
+        jnp.asarray(1.0, dtype), jnp.asarray(d_x, dtype),
+        n_y, n_y, n_x, n_x, dtype,
+    )
+    f = acc_ref[...] + dt * jnp.maximum(sig_ref[0], 0.0)
+    tmp = jnp.dot(mat_a, f, preferred_element_type=dtype, precision=prec)
+    tau = jnp.dot(tmp, mat_b, preferred_element_type=dtype, precision=prec)
+    acc_ref[...] = tau
+    tau_ref[0] = tau
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_y", "d_x", "dt", "precision", "interpret"),
+)
+def tau_sweep(
+    sig_p,      # (S, Y, X) density, plane index ascending TOWARD the sky
+    *,
+    d_y: float,
+    d_x: float,
+    dt: float,
+    precision: str = "highest",
+    interpret: bool | None = None,
+):
+    """Optical depth to the sky for every voxel of a permuted field.
+
+    Returns (S, Y, X) tau with tau[S-1] = 0 (sky-side plane sees vacuum)
+    and tau[k] accumulated from planes k+1..S-1 with the per-slice
+    fractional shift (d_y, d_x).
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    s, n_y, n_x = sig_p.shape
+    dtype = sig_p.dtype
+    kernel = functools.partial(
+        _tau_sweep_kernel,
+        d_y=float(d_y), d_x=float(d_x), dt=float(dt), precision=precision,
+    )
+    taus = pl.pallas_call(
+        kernel,
+        grid=(s - 1,),
+        in_specs=[
+            # Consume density planes S-1, S-2, ..., 1 (sky side first).
+            pl.BlockSpec((1, n_y, n_x), lambda k: (s - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # Step k produces tau at plane S-2-k.
+        out_specs=pl.BlockSpec((1, n_y, n_x), lambda k: (s - 2 - k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s - 1, n_y, n_x), dtype),
+        scratch_shapes=[pltpu.VMEM((n_y, n_x), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(sig_p)
+    return jnp.concatenate(
+        [taus, jnp.zeros((1, n_y, n_x), dtype)], axis=0
+    )

@@ -48,11 +48,11 @@ from tpuvr.kernels.sweep import _interp_matrices, dot_precision
 
 def _sweep_bwd_kernel(
     ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
-    slice_ref,   # (1, 4, Y, X) grid slice (recompute)
+    slice_ref,   # (B, 4, Y, X) block of grid slices (recompute)
     dt_ref,      # (V, U)
     dbias_ref,   # (V, U) precomputed sum_c dC_c*C_fin_c + dT*T_fin
     d_c_ref,     # (3, V, U) cotangent on color
-    grad_ref,    # out: (1, 4, Y, X) per-slice grid gradient
+    grad_ref,    # out: (B, 4, Y, X) per-slice grid gradients
     trans_ref,   # scratch (V, U): recomputed running transmittance
     q_ref,       # scratch (V, U): channel-contracted color prefix
     tmax_ref,    # scratch SMEM (1,): ERT state
@@ -60,75 +60,86 @@ def _sweep_bwd_kernel(
     sigma_scale: float,
     early_stop_eps: float,
     precision: str,
+    block: int,
+    reverse: bool,
 ):
-    k = pl.program_id(0)
+    step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
     n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
     dtype = trans_ref.dtype
 
-    @pl.when(k == 0)
+    @pl.when(step == 0)
     def _init():
         trans_ref[...] = jnp.ones_like(trans_ref)
         q_ref[...] = jnp.zeros_like(q_ref)
         tmax_ref[0] = jnp.asarray(1.0, dtype)
 
     live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
-    go = jnp.logical_and(enable_ref[k] > 0, live)
 
-    @pl.when(go)
-    def _step():
-        mat_a, mat_b = _interp_matrices(
-            ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k],
-            n_v, n_y, n_x, n_u, dtype,
-        )
-        sl = slice_ref[0]
+    @pl.when(live)
+    def _block():
         prec = dot_precision(precision)
 
-        # Per-channel 2D matmuls (3D batched dots are not Mosaic-lowerable).
-        def resample(c):
-            tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype,
-                          precision=prec)
-            return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
-                           precision=prec)
+        # As in the forward kernel: several slices per grid step with
+        # arithmetic occupancy gating (sigma *= enable => att = 1, w = 0,
+        # zero grads — bit-identical to skipping) lets Mosaic pipeline
+        # the 16 matmuls/slice across the block.
+        def slice_body(b):
+            k = step * block + b
+            i = block - 1 - b if reverse else b
+            mat_a, mat_b = _interp_matrices(
+                ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k],
+                n_v, n_y, n_x, n_u, dtype,
+            )
+            sl = slice_ref[i]
+            en = enable_ref[k]
 
-        def grad_to_slice(d_vu):
-            # A^T @ d @ B^T: (Y,V)@(V,U)@(U,X) via transposed contractions.
-            tmp = jax.lax.dot_general(
-                mat_a, d_vu, (((0,), (0,)), ((), ())),
-                preferred_element_type=dtype, precision=prec,
-            )  # (Y, U)
-            return jax.lax.dot_general(
-                tmp, mat_b, (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype, precision=prec,
-            )  # (Y, X)
+            def resample(c):
+                tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype,
+                              precision=prec)
+                return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
+                               precision=prec)
 
-        sig_raw = resample(0)
-        sigma = jnp.maximum(sig_raw, 0.0)
-        dt = dt_ref[...]
-        att = jnp.exp(-(sigma_scale * sigma) * dt)
-        trans = trans_ref[...]
-        w = trans * (1.0 - att)          # weight of this slice's emission
+            def grad_to_slice(d_vu):
+                # A^T @ d @ B^T via transposed contractions.
+                tmp = jax.lax.dot_general(
+                    mat_a, d_vu, (((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype, precision=prec,
+                )  # (Y, U)
+                return jax.lax.dot_general(
+                    tmp, mat_b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype, precision=prec,
+                )  # (Y, X)
 
-        # Channel-contracted color prefix including this step.
-        q = q_ref[...]
-        dsig = -dbias_ref[...]
-        for c in range(3):
-            smp_c = resample(c + 1)
-            d_c = d_c_ref[c]
-            q = q + (d_c * w) * smp_c
-            dsig = dsig + d_c * (trans * att) * smp_c
-            grad_ref[0, c + 1] = grad_to_slice(d_c * w)  # d emission_c
-        q_ref[...] = q
-        dsig = (dsig + q) * (sigma_scale * dt)
-        dsig = jnp.where(sig_raw > 0.0, dsig, 0.0)  # relu mask
-        grad_ref[0, 0] = grad_to_slice(dsig)
+            sig_raw = resample(0)
+            sigma = jnp.maximum(sig_raw, 0.0) * en
+            dt = dt_ref[...]
+            att = jnp.exp(-(sigma_scale * sigma) * dt)
+            trans = trans_ref[...]
+            w = trans * (1.0 - att)      # weight of this slice's emission
 
-        new_trans = trans * att
-        trans_ref[...] = new_trans
+            # Channel-contracted color prefix including this step.
+            q = q_ref[...]
+            dsig = -dbias_ref[...]
+            for c in range(3):
+                smp_c = resample(c + 1)
+                d_c = d_c_ref[c]
+                q = q + (d_c * w) * smp_c
+                dsig = dsig + d_c * (trans * att) * smp_c
+                grad_ref[i, c + 1] = grad_to_slice(d_c * w)  # d emission_c
+            q_ref[...] = q
+            dsig = (dsig + q) * (sigma_scale * dt)
+            # relu mask + occupancy gate: skipped slices get zero grads.
+            dsig = jnp.where(sig_raw > 0.0, dsig, 0.0) * en
+            grad_ref[i, 0] = grad_to_slice(dsig)
+            trans_ref[...] = trans * att
+
+        for b in range(block):
+            slice_body(b)
         if early_stop_eps > 0.0:
-            tmax_ref[0] = jnp.max(new_trans)
+            tmax_ref[0] = jnp.max(trans_ref[...])
 
-    @pl.when(jnp.logical_not(go))
+    @pl.when(jnp.logical_not(live))
     def _skipped():
         grad_ref[...] = jnp.zeros_like(grad_ref)
 
@@ -136,7 +147,7 @@ def _sweep_bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("reverse", "sigma_scale", "early_stop_eps",
-                     "precision", "interpret"),
+                     "precision", "interpret", "block"),
 )
 def sweep_bwd(
     grid_sc,     # (S, 4, Y, X)
@@ -153,6 +164,7 @@ def sweep_bwd(
     early_stop_eps: float = 0.0,
     precision: str = "highest",
     interpret: bool | None = None,
+    block: int | None = None,
 ):
     """Gradient of the sweep w.r.t. the grid.
 
@@ -164,15 +176,22 @@ def sweep_bwd(
     n_v, n_u = dt_map.shape
     dtype = grid_sc.dtype
     ay, by, ax, bx = coeffs
+    if block is None:
+        block = next(b for b in (4, 2, 1) if s % b == 0)
+    if s % block:
+        raise ValueError(f"block {block} must divide n_slices {s}")
+    n_steps = s // block
 
-    def slice_index(k):
-        return ((s - 1 - k) if reverse else k, 0, 0, 0)
+    def block_index(step):
+        return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
     kernel = functools.partial(
         _sweep_bwd_kernel,
         sigma_scale=float(sigma_scale),
         early_stop_eps=float(early_stop_eps),
         precision=precision,
+        block=block,
+        reverse=reverse,
     )
     # One resident bias plane instead of (c_final, t_final, d_trans):
     # dbias = sum_c dC_c * C_final_c + dT * T_final (see module docstring).
@@ -187,17 +206,15 @@ def sweep_bwd(
                             memory_space=pltpu.VMEM)
     grad_yx = pl.pallas_call(
         kernel,
-        grid=(s,),
+        grid=(n_steps,),
         in_specs=[
             scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
-            pl.BlockSpec((1, 4, n_y, n_x), slice_index,
+            pl.BlockSpec((block, 4, n_y, n_x), block_index,
                          memory_space=pltpu.VMEM),
             vu_spec, vu_spec, cvu_spec,
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, n_y, n_x),
-            lambda k: slice_index(k)[:1] + (0, 0, 0),
-            memory_space=pltpu.VMEM,
+            (block, 4, n_y, n_x), block_index, memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((s, 4, n_y, n_x), dtype),
         scratch_shapes=[

@@ -75,16 +75,20 @@ def hemisphere_dirs(n: int, up=(0.0, 0.0, 1.0)) -> np.ndarray:
     return local @ rot.T
 
 
-def _directional_tau(sigma, w, precision="highest"):
+def _directional_tau(sigma, w, precision="highest", impl=None):
     """Optical depth to the sky along direction ``w`` for every voxel.
 
     Args:
       sigma: (Z, Y, X) density.
       w: unit (x, y, z) direction pointing *toward the sky*.
+      impl: 'pallas' (tpuvr.kernels.lighting.tau_sweep), 'xla' (lax.scan
+        twin), or None for the backend default.
 
     Returns:
       (Z, Y, X) tau field (same layout as sigma).
     """
+    from tpuvr.ops.vjp import resolve_impl
+
     axis = int(np.argmax(np.abs(w)))
     perm = GRID_PERM[axis][:3]
     sig_p = jnp.transpose(sigma, perm)           # (S, Y, X)
@@ -98,32 +102,39 @@ def _directional_tau(sigma, w, precision="highest"):
     dt = 1.0 / dz  # |w| == 1
     s, n_y, n_x = sig_p.shape
     dtype = sigma.dtype
-    prec = dot_precision(precision)
 
-    mat_a, mat_b = _interp_matrices(
-        jnp.asarray(1.0, dtype), jnp.asarray(d_y, dtype),
-        jnp.asarray(1.0, dtype), jnp.asarray(d_x, dtype),
-        n_y, n_y, n_x, n_x, dtype,
-    )
+    if resolve_impl(impl) == "pallas":
+        from tpuvr.kernels.lighting import tau_sweep
 
-    def shift(f):
-        # f(y + d_y, x + d_x), zero outside.
-        tmp = jnp.dot(mat_a, f, preferred_element_type=dtype,
-                      precision=prec)
-        return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
-                       precision=prec)
+        tau_p = tau_sweep(sig_p, d_y=d_y, d_x=d_x, dt=dt,
+                          precision=precision)
+    else:
+        prec = dot_precision(precision)
+        mat_a, mat_b = _interp_matrices(
+            jnp.asarray(1.0, dtype), jnp.asarray(d_y, dtype),
+            jnp.asarray(1.0, dtype), jnp.asarray(d_x, dtype),
+            n_y, n_y, n_x, n_x, dtype,
+        )
 
-    def step(tau_next, sig_next):
-        tau = shift(tau_next + dt * sig_next)
-        return tau, tau
+        def shift(f):
+            # f(y + d_y, x + d_x), zero outside.
+            tmp = jnp.dot(mat_a, f, preferred_element_type=dtype,
+                          precision=prec)
+            return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
+                           precision=prec)
 
-    # Sweep from the sky-side inward: plane S-1 sees only vacuum (tau 0);
-    # consuming sigma slices S-1..1 yields taus[i] = tau at plane S-2-i.
-    tau_init = jnp.zeros((n_y, n_x), dtype)
-    _, taus = jax.lax.scan(step, tau_init, sig_p[:0:-1])
-    tau_p = jnp.concatenate(
-        [taus[::-1], jnp.zeros((1, n_y, n_x), dtype)], axis=0
-    )  # (S, Y, X), tau_p[k] = tau at plane k
+        def step(tau_next, sig_next):
+            tau = shift(tau_next + dt * jnp.maximum(sig_next, 0.0))
+            return tau, tau
+
+        # Sweep from the sky-side inward: plane S-1 sees only vacuum
+        # (tau 0); consuming sigma slices S-1..1 yields taus[i] = tau at
+        # plane S-2-i.
+        tau_init = jnp.zeros((n_y, n_x), dtype)
+        _, taus = jax.lax.scan(step, tau_init, sig_p[:0:-1])
+        tau_p = jnp.concatenate(
+            [taus[::-1], jnp.zeros((1, n_y, n_x), dtype)], axis=0
+        )  # (S, Y, X), tau_p[k] = tau at plane k
     if flip:
         tau_p = tau_p[::-1]
     inv_perm = np.argsort(perm)
@@ -131,24 +142,27 @@ def _directional_tau(sigma, w, precision="highest"):
 
 
 def light_volume(sigma, cfg: LightingConfig = LightingConfig(),
-                 precision: str = "highest"):
+                 precision: str = "highest", impl=None):
     """Sky-light volume L (Z, Y, X): mean hemisphere transmittance."""
     dirs = hemisphere_dirs(cfg.n_samples, cfg.up)
     total = 0.0
     for w in dirs:
-        total = total + jnp.exp(-_directional_tau(sigma, w, precision))
+        total = total + jnp.exp(
+            -_directional_tau(sigma, w, precision, impl=impl)
+        )
     return (cfg.sky_intensity / cfg.n_samples) * total
 
 
 def apply_lighting(grid, cfg: LightingConfig = LightingConfig(),
-                   precision: str = "highest", detach: bool = True):
+                   precision: str = "highest", detach: bool = True,
+                   impl=None):
     """Multiply the sky-light volume into the emission/albedo channels.
 
     Returns a lit (Z, Y, X, 4) grid; density unchanged. With
     ``detach=True`` (default) no gradient flows through the light volume
     (detached shadows — the primary path stays fully differentiable).
     """
-    ell = light_volume(grid[..., 0], cfg, precision)
+    ell = light_volume(grid[..., 0], cfg, precision, impl=impl)
     if detach:
         ell = jax.lax.stop_gradient(ell)
     return jnp.concatenate(

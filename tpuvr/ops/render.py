@@ -76,7 +76,7 @@ def render_view(
     if lighting is not None and lighting.mode != "none":
         from tpuvr.ops.lighting import apply_lighting
 
-        grid = apply_lighting(grid, lighting, cfg.precision)
+        grid = apply_lighting(grid, lighting, cfg.precision, impl=impl)
     axis = dominant_axis(cam)
     plan, uv_pixel = plan_sweep(cam, grid.shape, axis)
     dtype = grid.dtype
