@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from tpuvr.config import LightingConfig, RenderConfig
@@ -52,38 +53,89 @@ def slice_enables(grid_sc, reverse: bool, use_occupancy: bool):
     return jax.lax.stop_gradient(enables)
 
 
-def render_view(
+def _grid_shape_from_sweep(axis: int, gsc_shape):
+    """Invert :func:`grid_to_sweep_layout`: (S, 4, Y', X') -> (Z, Y, X, 4)."""
+    s, _, yp, xp = gsc_shape
+    if axis == 0:
+        return (xp, yp, s, 4)
+    if axis == 1:
+        return (yp, s, xp, 4)
+    return (s, yp, xp, 4)
+
+
+def prepare_grid(
     grid,
-    cam,
-    cfg: RenderConfig = RenderConfig(),
+    axes=(0, 1, 2),
     lighting: Optional[LightingConfig] = None,
+    precision: str = "highest",
     impl: Optional[str] = None,
 ):
-    """Render one view of a (Z, Y, X, 4) voxel grid with the sweep kernel.
+    """Per-grid-update preprocessing for the frame loop (C6 + layout).
 
-    Differentiable w.r.t. ``grid`` (custom VJP, recompute backward).
+    The reference renderer uploads the volume once and then renders frames
+    against it (reconstructed ``main -> loop{enqueue render}`` shell,
+    SURVEY.md §3); the TPU-native equivalents of that upload step are the
+    sweep-layout transpose, the occupancy scan, and the lighting bake —
+    all O(grid) HBM passes that don't belong in the per-frame path. This
+    returns a pytree ``{axis: (grid_sc, slice_max)}`` consumed by
+    :func:`render_prepared`; rebuild it whenever the grid (or lighting)
+    changes. Differentiable w.r.t. ``grid`` (transposes + the lighting
+    bake's VJP).
 
     Args:
-      impl: 'pallas' (TPU kernels), 'xla' (scan fallback), or None/'auto'.
-      lighting: optional LightingConfig; mode='lightvolume' multiplies the
-        hemisphere sky-light volume into the emission channels before the
-        sweep (C4) — the lit radiance stays one trilinear field, so the
-        kernels are unchanged.
-
-    Returns:
-      (rgb (res_y, res_x, 3), transmittance (res_y, res_x)).
+      axes: which sweep axes to prepare (a camera with dominant axis not
+        in ``axes`` cannot be rendered from this prep). Cameras in a known
+        orbit usually need only one or two axes.
     """
     if lighting is not None and lighting.mode != "none":
         from tpuvr.ops.lighting import apply_lighting
 
-        grid = apply_lighting(grid, lighting, cfg.precision, impl=impl)
+        grid = apply_lighting(grid, lighting, precision, impl=impl)
+    prep = {}
+    for axis in axes:
+        grid_sc = grid_to_sweep_layout(grid, axis)
+        slice_max = jax.lax.stop_gradient(
+            jnp.max(grid_sc[:, 0, :, :], axis=(1, 2))
+        )
+        prep[int(axis)] = (grid_sc, slice_max)
+    return prep
+
+
+def render_prepared(
+    prep,
+    cam,
+    cfg: RenderConfig = RenderConfig(),
+    impl: Optional[str] = None,
+):
+    """Render one view from a :func:`prepare_grid` result.
+
+    This is the per-frame hot path: all O(grid) preprocessing lives in
+    ``prepare_grid``, so a frame costs exactly the sweep kernel plus the
+    O(pixels) final warp — the TPU-native analog of the reference's
+    per-frame "enqueue render kernel on the resident volume".
+
+    Returns:
+      (rgb (res_y, res_x, 3), transmittance (res_y, res_x)).
+    """
     axis = dominant_axis(cam)
-    plan, uv_pixel = plan_sweep(cam, grid.shape, axis)
-    dtype = grid.dtype
-    grid_sc = grid_to_sweep_layout(grid, axis)
+    if axis not in prep:
+        raise ValueError(
+            f"camera sweeps axis {axis}, but prepare_grid was built for "
+            f"axes {sorted(prep)}"
+        )
+    grid_sc, slice_max = prep[axis]
+    plan, uv_pixel = plan_sweep(
+        cam, _grid_shape_from_sweep(axis, grid_sc.shape), axis
+    )
+    dtype = grid_sc.dtype
     coeffs = slice_coeffs(plan, dtype)
     dt_map = ray_dt(plan, dtype)
-    enables = slice_enables(grid_sc, plan.reverse, cfg.use_occupancy)
+    if cfg.use_occupancy:
+        enables = (slice_max > 0.0).astype(dtype)
+        if plan.reverse:
+            enables = enables[::-1]
+    else:
+        enables = jnp.ones((grid_sc.shape[0],), dtype)
     op = sweep_op(
         plan.reverse,
         cfg.sigma_scale,
@@ -99,6 +151,37 @@ def render_view(
     inter = jnp.transpose(inter, (1, 2, 0))  # (V, U, 4)
     img = warp_to_pixels(inter, plan, uv_pixel)
     return img[..., :3], img[..., 3]
+
+
+def render_view(
+    grid,
+    cam,
+    cfg: RenderConfig = RenderConfig(),
+    lighting: Optional[LightingConfig] = None,
+    impl: Optional[str] = None,
+):
+    """Render one view of a (Z, Y, X, 4) voxel grid with the sweep kernel.
+
+    Differentiable w.r.t. ``grid`` (custom VJP, recompute backward).
+    Convenience wrapper: ``render_prepared(prepare_grid(grid), cam)``. For
+    many frames of the same grid, call :func:`prepare_grid` once instead.
+
+    Args:
+      impl: 'pallas' (TPU kernels), 'xla' (scan fallback), or None/'auto'.
+      lighting: optional LightingConfig; mode='lightvolume' multiplies the
+        hemisphere sky-light volume into the emission channels before the
+        sweep (C4) — the lit radiance stays one trilinear field, so the
+        kernels are unchanged.
+
+    Returns:
+      (rgb (res_y, res_x, 3), transmittance (res_y, res_x)).
+    """
+    axis = dominant_axis(cam)
+    prep = prepare_grid(
+        grid, axes=(axis,), lighting=lighting, precision=cfg.precision,
+        impl=impl,
+    )
+    return render_prepared(prep, cam, cfg, impl=impl)
 
 
 def render_with_geom(
