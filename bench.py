@@ -8,14 +8,16 @@ Prints ONE JSON line to stdout:
 vs_baseline is measured/5e7 — the BASELINE.json:5 target of 5e7 rays/s per
 *v5p* chip (this container's dev chip is a v5 lite; see BASELINE.md).
 
-Timing method: the axon dev tunnel makes naive block_until_ready timing
-untrustworthy (async queue returns early), so frames are chained through a
-data dependency and the wall clock closes over a host readback of the final
-frame. Human-readable details go to stderr.
+Timing method: frames run sequentially inside one jitted lax.scan (the
+carry is a data dependency through every frame) and the wall clock closes
+over a host readback of the final carry; two scan lengths give a marginal
+per-frame time that cancels dispatch + readback overhead. See _timed_scan
+for the axon-tunnel pitfalls this dodges. Human-readable details on stderr.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -27,85 +29,97 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_fwd_prepared(jax, jnp, grid, cam, cfg, impl, min_wall=2.0):
+def _timed_scan(jax, jnp, body, carry0, n_lo=64, n_hi=256, reps=3):
+    """Device-time per-frame cost: sequential body() steps inside ONE
+    jitted lax.scan, timed at two lengths; the marginal (w_hi-w_lo)/(hi-lo)
+    cancels dispatch/readback overhead. Axon-tunnel rules baked in:
+    (1) only a host readback (np.asarray) of a value that data-depends on
+    every step proves completion — block_until_ready returns early;
+    (2) repeated identical execution requests can be served from a cache,
+    so every timed call gets a freshly perturbed carry;
+    (3) big arrays must be explicit jit args, not closure constants (the
+    remote-compile request embeds constants)."""
+    carry0, consts = carry0
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(c0, cs, n):
+        c = jax.lax.scan(lambda c, _: (body(c, cs), None), c0,
+                         None, length=n)[0]
+        # Scalar probe: the readback must data-depend on the final carry
+        # but stay O(1) — reading back a grid-sized carry would swamp the
+        # marginal in transfer noise.
+        return sum(jnp.mean(leaf) for leaf in jax.tree.leaves(c))
+
+    def timed(n, rep):
+        walls = []
+        for i in range(rep):
+            c0 = jax.tree.map(
+                lambda x: x * (1.0 + (i + 1) * 1e-7), carry0
+            )
+            t0 = time.time()
+            np.asarray(run(c0, consts, n))
+            walls.append(time.time() - t0)
+        return min(walls)
+
+    for n in (n_lo, n_hi):
+        np.asarray(run(carry0, consts, n))  # compile
+    w_lo = timed(n_lo, reps)
+    w_hi = timed(n_hi, reps)
+    return max(w_hi - w_lo, 1e-9) / (n_hi - n_lo)
+
+
+def bench_fwd_prepared(jax, jnp, grid, cam, cfg, impl):
     """Frame-loop rays/s: volume resident on device (prepare_grid outside
     the frame), matching the reference's per-frame cost of 'enqueue render
-    kernel on the uploaded volume'. A data dependency chains frames."""
+    kernel on the uploaded volume'. Frames chain through the O(S)
+    occupancy vector — sequential, but no artificial O(grid) work."""
     from tpuvr.ops.render import prepare_grid, render_prepared
     from tpuvr.ref.camera import dominant_axis
 
     axis = dominant_axis(cam)
     prep0 = jax.jit(lambda g: prepare_grid(g, axes=(axis,)))(grid)
+    gsc = prep0[axis][0]
 
-    @jax.jit
-    def step(p):
-        rgb, t = render_prepared(p, cam, cfg, impl=impl)
-        gsc, smax = p[axis]
-        return {axis: (gsc + jnp.mean(rgb) * 1e-12, smax)}, rgb
+    def body(smax, gsc):
+        rgb, t = render_prepared({axis: (gsc, smax)}, cam, cfg, impl=impl)
+        # The epsilon never flips an occupancy bit (slice_max is 0 or >>).
+        return smax + jnp.mean(rgb) * 1e-30
 
-    p, rgb = step(prep0)
-    np.asarray(rgb)  # compile + sync
-    iters = 4
-    while True:
-        p = prep0
-        t0 = time.time()
-        for _ in range(iters):
-            p, rgb = step(p)
-        np.asarray(rgb)
-        wall = time.time() - t0
-        if wall >= min_wall or iters >= 4096:
-            return wall / iters
-        iters = int(iters * max(2, min(8, 1.2 * min_wall / max(wall, 1e-6))))
+    return _timed_scan(jax, jnp, body, (prep0[axis][1], gsc), 64, 256)
 
 
-def bench_fwd(jax, jnp, grid, cam, cfg, impl, min_wall=2.0):
+def bench_fwd(jax, jnp, grid, cam, cfg, impl):
+    """End-to-end per-frame cost incl. layout/occupancy prep each frame."""
     from tpuvr.ops.render import render_view
 
-    @jax.jit
-    def step(g):
+    def body(g, _):
         rgb, t = render_view(g, cam, cfg, impl=impl)
-        return g + jnp.mean(rgb) * 1e-12, rgb
+        return g + jnp.mean(rgb) * 1e-30
 
-    g, rgb = step(grid)
-    np.asarray(rgb)  # compile + sync
-    iters = 4
-    while True:
-        g = grid
-        t0 = time.time()
-        for _ in range(iters):
-            g, rgb = step(g)
-        np.asarray(rgb)
-        wall = time.time() - t0
-        if wall >= min_wall or iters >= 4096:
-            return wall / iters
-        iters = int(iters * max(2, min(8, 1.2 * min_wall / max(wall, 1e-6))))
+    return _timed_scan(jax, jnp, body, (grid, ()), 32, 128)
 
 
-def bench_fwd_bwd(jax, jnp, grid, cam, cfg, impl, min_wall=2.0):
-    from tpuvr.ops.render import render_view
+def bench_fwd_bwd(jax, jnp, grid, cam, cfg, impl):
+    """Training-step fwd+bwd time: grads w.r.t. the resident sweep-layout
+    grid (the C9 inner loop), chained through the O(S) occupancy vector."""
+    from tpuvr.ops.render import prepare_grid, render_prepared
+    from tpuvr.ref.camera import dominant_axis
 
-    def loss(g):
-        rgb, t = render_view(g, cam, cfg, impl=impl)
-        return jnp.mean((rgb - 0.25) ** 2)
+    axis = dominant_axis(cam)
+    prep0 = jax.jit(lambda g: prepare_grid(g, axes=(axis,)))(grid)
+    gsc = prep0[axis][0]
 
-    @jax.jit
-    def step(g):
-        val, grads = jax.value_and_grad(loss)(g)
-        return g + grads * 1e-12, val
+    def body(smax, gsc):
+        def loss(g):
+            rgb, t = render_prepared({axis: (g, smax)}, cam, cfg, impl=impl)
+            return jnp.mean((rgb - 0.25) ** 2)
 
-    g, val = step(grid)
-    np.asarray(val)
-    iters = 4
-    while True:
-        g = grid
-        t0 = time.time()
-        for _ in range(iters):
-            g, val = step(g)
-        np.asarray(val)
-        wall = time.time() - t0
-        if wall >= min_wall or iters >= 4096:
-            return wall / iters
-        iters = int(iters * max(2, min(8, 1.2 * min_wall / max(wall, 1e-6))))
+        grads = jax.grad(loss)(gsc)
+        # O(1) probe of the gradient chains the next frame on the full
+        # backward kernel without adding an O(grid) optimizer update.
+        return smax + grads[0, 0, 0, 0] * 1e-30
+
+    return _timed_scan(jax, jnp, body, (prep0[axis][1], gsc), 16, 64)
 
 
 def grad_accuracy(jax, jnp):
