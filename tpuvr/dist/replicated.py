@@ -86,6 +86,9 @@ def render_view_dp(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P("data", None)),
         out_specs=(P(None, "data", None), P("data", None)),
+        # The custom_vjp residuals and the transpose's psum'd grid
+        # cotangent defeat vma inference (as in retile.py/sharded_grid.py).
+        check_vma=False,
     )(grid_sc, ay, by, ax, bx, enables, dt_map)
 
     inter = jnp.transpose(jnp.concatenate([rgb, trans[None]], 0), (1, 2, 0))

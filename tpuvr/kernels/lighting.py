@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuvr.kernels._compat import use_interpret
+from tpuvr.kernels._compat import out_struct, use_interpret
 from tpuvr.kernels.sweep import _interp_matrices, dot_precision
 
 
@@ -100,7 +100,7 @@ def tau_sweep(
         # Step k produces tau at plane S-2-k.
         out_specs=pl.BlockSpec((1, n_y, n_x), lambda k: (s - 2 - k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s - 1, n_y, n_x), dtype),
+        out_shape=out_struct((s - 1, n_y, n_x), dtype, sig_p),
         scratch_shapes=[pltpu.VMEM((n_y, n_x), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

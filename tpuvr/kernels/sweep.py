@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuvr.kernels._compat import use_interpret
+from tpuvr.kernels._compat import out_struct, use_interpret
 
 
 def dot_precision(precision: str):
@@ -222,8 +222,8 @@ def sweep_fwd(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, n_v, n_u), dtype),
-            jax.ShapeDtypeStruct((n_v, n_u), dtype),
+            out_struct((3, n_v, n_u), dtype, by, dt_map),
+            out_struct((n_v, n_u), dtype, by, dt_map),
         ],
         scratch_shapes=[pltpu.SMEM((1,), dtype)],
         compiler_params=pltpu.CompilerParams(

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuvr.kernels._compat import use_interpret
+from tpuvr.kernels._compat import out_struct, use_interpret
 from tpuvr.kernels.sweep import _interp_matrices, dot_precision
 
 
@@ -216,7 +216,7 @@ def sweep_bwd(
         out_specs=pl.BlockSpec(
             (block, 4, n_y, n_x), block_index, memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((s, 4, n_y, n_x), dtype),
+        out_shape=out_struct((s, 4, n_y, n_x), dtype, by, dt_map, d_color),
         scratch_shapes=[
             pltpu.VMEM((n_v, n_u), dtype),
             pltpu.VMEM((n_v, n_u), dtype),
