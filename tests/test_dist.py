@@ -76,3 +76,39 @@ def test_dp_training_matches_single_device(grid, devices8, tmp_path):
     # bound the trajectory gap at ~1e-3 relative.
     np.testing.assert_allclose(hist_dp["loss"], hist_1["loss"],
                                rtol=2e-3, atol=1e-6)
+
+
+def test_out_struct_vma_under_shard_map(devices8):
+    """Pallas out_shapes inside shard_map(check_vma=True) must declare
+    which mesh axes they vary over; kernels/_compat.out_struct derives
+    that as the union of the operands' vma. Regression for the TPU-only
+    failure 'vma on ShapeDtypeStruct must not be None'. (The full
+    kernel-under-checked-shard_map run is TPU-only: Pallas interpret mode
+    on CPU hits an unrelated vma limitation inside JAX's HLO interpreter,
+    so this asserts the derivation at trace time instead; the TPU
+    execution path was verified on hardware — bit-identical to the
+    unsharded sweep.)"""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from tpuvr.kernels._compat import out_struct
+
+    mesh = data_mesh(8)
+
+    def body(a, b):
+        s = out_struct((4,), a.dtype, a, b)
+        assert s.vma == frozenset({"data"}), s.vma
+        s_rep = out_struct((4,), b.dtype, b)
+        assert s_rep.vma == frozenset(), s_rep.vma
+        return a
+
+    jax.eval_shape(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P("data"), P()),
+            out_specs=P("data"),
+        ),
+        jnp.zeros((8, 2)), jnp.zeros((3,)),
+    )
+    # Outside any shard_map: empty vma, plain struct.
+    x = jnp.zeros((2,))
+    assert out_struct((2,), x.dtype, x).vma == frozenset()
