@@ -196,16 +196,21 @@ def main():
     )
     rays = res * res
     cfg_hi = RenderConfig(early_stop_eps=1e-4, precision="highest")
+    cfg_h3 = RenderConfig(early_stop_eps=1e-4, precision="high")
     cfg_fast = RenderConfig(early_stop_eps=1e-4, precision="default")
 
     t_fwd = bench_fwd_prepared(jax, jnp, grid, cam, cfg_fast, impl)
     log(f"fwd frame-loop (bf16 resample): {t_fwd*1e3:.3f} ms/frame")
+    t_fwd_h3 = bench_fwd_prepared(jax, jnp, grid, cam, cfg_h3, impl)
+    log(f"fwd frame-loop (3-pass ~f32): {t_fwd_h3*1e3:.3f} ms/frame")
     t_fwd_hi = bench_fwd_prepared(jax, jnp, grid, cam, cfg_hi, impl)
     log(f"fwd frame-loop (f32): {t_fwd_hi*1e3:.3f} ms/frame")
     t_e2e = bench_fwd(jax, jnp, grid, cam, cfg_fast, impl)
     log(f"fwd end-to-end incl. prep (bf16): {t_e2e*1e3:.3f} ms/frame")
     t_fb = bench_fwd_bwd(jax, jnp, grid, cam, cfg_hi, impl)
     log(f"fwd+bwd (f32): {t_fb*1e3:.3f} ms/frame")
+    t_fb_h3 = bench_fwd_bwd(jax, jnp, grid, cam, cfg_h3, impl)
+    log(f"fwd+bwd (3-pass ~f32): {t_fb_h3*1e3:.3f} ms/frame")
     t_fb_fast = bench_fwd_bwd(jax, jnp, grid, cam, cfg_fast, impl)
     log(f"fwd+bwd (bf16 resample): {t_fb_fast*1e3:.3f} ms/frame")
     gerr = grad_accuracy(jax, jnp)
@@ -226,13 +231,17 @@ def main():
         "vs_baseline": round(fwd_rays / target, 4),
         "fwd_bwd_rays_per_s": round(fb_rays, 1),
         "fwd_f32_rays_per_s": round(rays / t_fwd_hi, 1),
+        "fwd_high_rays_per_s": round(rays / t_fwd_h3, 1),
         "fwd_e2e_rays_per_s": round(rays / t_e2e, 1),
         "fwd_bwd_f32_rays_per_s": round(rays / t_fb, 1),
+        "fwd_bwd_high_rays_per_s": round(rays / t_fb_h3, 1),
         "fwd_ms_per_frame": round(t_fwd * 1e3, 3),
         "fwd_bwd_ms_per_frame": round(t_fb_fast * 1e3, 3),
         "fwd_f32_ms_per_frame": round(t_fwd_hi * 1e3, 3),
+        "fwd_high_ms_per_frame": round(t_fwd_h3 * 1e3, 3),
         "fwd_e2e_ms_per_frame": round(t_e2e * 1e3, 3),
         "fwd_bwd_f32_ms_per_frame": round(t_fb * 1e3, 3),
+        "fwd_bwd_high_ms_per_frame": round(t_fb_h3 * 1e3, 3),
         "pixel_grad_max_abs_err": gerr,
         "grid": n,
         "frame": res,

@@ -139,3 +139,22 @@ def test_occupancy_skip_is_lossless(grid):
                                                   early_stop_eps=0.0))
     np.testing.assert_allclose(rgb_a, rgb_b, atol=1e-7)
     np.testing.assert_allclose(t_a, t_b, atol=1e-7)
+
+
+def test_high_precision_tier(grid):
+    """precision='high' (manual 3-pass bf16 split-product) stays within
+    ~1e-5 of 'highest' — the cheap near-f32 tier for training loops."""
+    c = (N - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * N), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * N, height=1.5 * N,
+        res_x=RES, res_y=RES,
+    )
+    rgb_hi, t_hi = render_view(
+        grid, cam, RenderConfig(early_stop_eps=0.0, precision="highest")
+    )
+    rgb_h3, t_h3 = render_view(
+        grid, cam, RenderConfig(early_stop_eps=0.0, precision="high")
+    )
+    np.testing.assert_allclose(rgb_h3, rgb_hi, atol=2e-5)
+    np.testing.assert_allclose(t_h3, t_hi, atol=2e-5)

@@ -70,3 +70,22 @@ def test_ppm_native_writer(tmp_path):
         assert f.readline().strip() == b"255"
         data = f.read()
     assert len(data) == 8 * 6 * 3
+
+
+def test_tiff_stack_roundtrip(tmp_path):
+    from PIL import Image
+
+    from tpuvr.io.volume import load_tiff_stack
+
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 65535, size=(5, 8, 6), dtype=np.uint16)
+    for z in range(vol.shape[0]):
+        Image.fromarray(vol[z]).save(tmp_path / f"slice_{z:03d}.tif")
+    out = load_tiff_stack(str(tmp_path / "slice_*.tif"))
+    np.testing.assert_allclose(out, vol.astype(np.float32) / 65535.0,
+                               atol=1e-7)
+    out2 = load_tiff_stack(
+        [str(tmp_path / f"slice_{z:03d}.tif") for z in range(5)],
+        normalize=False,
+    )
+    np.testing.assert_allclose(out2, vol.astype(np.float32))

@@ -33,9 +33,10 @@ class RenderConfig:
       tmin: samples with ray parameter t <= tmin are ignored (rays start at
         their origin).
       precision: matmul precision for the sweep resamples — 'highest'
-        (true f32; required for allclose vs the CPU oracle) or 'default'
-        (lets XLA demote to bf16 under --xla_allow_excess_precision;
-        ~5e-3 image error, ~2x faster).
+        (true f32, 6 MXU passes; required for allclose vs the CPU
+        oracle), 'high' (3 passes, ~1e-6 relative error, ~2x faster
+        than 'highest'), or 'default' (1 bf16 pass; ~5e-3 image error,
+        fastest).
       max_rows_per_call: intermediate-image rows per sweep kernel call;
         larger frames are row-chunked (tpuvr.ops.vjp.chunked_sweep) to
         bound resident VMEM. None disables chunking.

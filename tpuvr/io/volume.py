@@ -123,6 +123,38 @@ def load_raw(path: str, shape, dtype=np.uint8, normalize: bool = True):
     return data
 
 
+def load_tiff_stack(paths, normalize: bool = True) -> np.ndarray:
+    """Load a TIFF slice stack (one image per Z plane) into (Z, Y, X).
+
+    The reference-class renderer's third input format besides raw/.vol
+    (SURVEY.md §2.1 volume loader). Accepts a list of file paths or a
+    glob pattern; slices are sorted lexicographically and must share one
+    (Y, X) shape. Integer samples are scaled to [0, 1] when ``normalize``.
+    """
+    from PIL import Image
+
+    if isinstance(paths, (str, bytes)):
+        import glob as _glob
+
+        paths = sorted(_glob.glob(paths))
+    if not paths:
+        raise ValueError("load_tiff_stack: no slice files found")
+    planes = []
+    for p in paths:
+        img = Image.open(p)
+        if img.mode not in ("F", "I", "I;16", "L"):
+            img = img.convert("F")
+        planes.append(np.asarray(img))
+    shapes = {pl.shape for pl in planes}
+    if len(shapes) != 1:
+        raise ValueError(f"inconsistent slice shapes: {sorted(shapes)}")
+    vol = np.stack(planes).astype(np.float32)
+    first = np.asarray(planes[0])
+    if normalize and np.issubdtype(first.dtype, np.integer):
+        vol /= float(np.iinfo(first.dtype).max)
+    return vol
+
+
 def density_to_grid(density, emission=(1.0, 1.0, 1.0)):
     """(Z, Y, X) density -> (Z, Y, X, 4) grid with constant emission."""
     d = np.asarray(density, dtype=np.float32)

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuvr.kernels._compat import out_struct, use_interpret
-from tpuvr.kernels.sweep import _interp_matrices, dot_precision
+from tpuvr.kernels.sweep import _interp_matrices, sweep_dot
 
 
 def _tau_sweep_kernel(
@@ -49,15 +49,14 @@ def _tau_sweep_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    prec = dot_precision(precision)
     mat_a, mat_b = _interp_matrices(
         jnp.asarray(1.0, dtype), jnp.asarray(d_y, dtype),
         jnp.asarray(1.0, dtype), jnp.asarray(d_x, dtype),
         n_y, n_y, n_x, n_x, dtype,
     )
     f = acc_ref[...] + dt * jnp.maximum(sig_ref[0], 0.0)
-    tmp = jnp.dot(mat_a, f, preferred_element_type=dtype, precision=prec)
-    tau = jnp.dot(tmp, mat_b, preferred_element_type=dtype, precision=prec)
+    tmp = sweep_dot(mat_a, f, precision, dtype)
+    tau = sweep_dot(tmp, mat_b, precision, dtype)
     acc_ref[...] = tau
     tau_ref[0] = tau
 

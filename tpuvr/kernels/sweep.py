@@ -38,10 +38,56 @@ from tpuvr.kernels._compat import out_struct, use_interpret
 
 
 def dot_precision(precision: str):
+    """Map the config knob to an MXU pass count ('high' is handled by
+    sweep_dot's manual decomposition, never passed to the backend)."""
     import jax
 
     return (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
+
+
+_DOT_DIMS = (((1,), (0,)), ((), ()))
+
+
+def sweep_dot(a, b, precision: str, dtype, dims=_DOT_DIMS):
+    """The contraction behind every sweep resample.
+
+    precision 'highest' = 6 MXU bf16 passes (full f32), 'high' = manual
+    3-pass bf16 split-product a_hi·b_hi + a_lo·b_hi + a_hi·b_lo with f32
+    accumulation (~1e-6 relative error at half the 'highest' MXU cost —
+    Mosaic does not lower lax.Precision.HIGH, and doing it by hand keeps
+    the Pallas and XLA impls bit-comparable), 'default' = 1 bf16 pass.
+    """
+    if precision == "high" and dtype == jnp.float32:
+        f32 = jnp.float32
+
+        def split(x):
+            # Round-to-nearest-even to bf16 by bit manipulation, NOT
+            # astype(bf16).astype(f32): XLA's excess-precision pass folds
+            # the cast round-trip, silently zeroing the lo part (and
+            # Mosaic lowers neither Precision.HIGH nor reduce_precision).
+            # Assumes finite inputs (interp weights / densities) — NaN/inf
+            # would be mangled by the carry into the exponent.
+            ui = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            odd = (ui >> 16) & jnp.uint32(1)
+            r = (ui + jnp.uint32(0x7FFF) + odd) & jnp.uint32(0xFFFF0000)
+            hi = jax.lax.bitcast_convert_type(r, f32)
+            return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
+
+        a_hi, a_lo = split(a)
+        b_hi, b_lo = split(b)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x, y, dims, preferred_element_type=f32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=dtype,
+        precision=dot_precision(precision),
+    )
 
 
 def _interp_matrices(ay, by, ax, bx, n_v, n_y, n_x, n_u, dtype):
@@ -94,8 +140,6 @@ def _sweep_fwd_kernel(
 
     @pl.when(live)
     def _block():
-        prec = dot_precision(precision)
-
         # Process `block` slices per grid step: the resample matmuls of
         # slice b+1 are independent of the compositing of slice b, so
         # Mosaic overlaps MXU and VPU work across the block (one slice
@@ -114,10 +158,8 @@ def _sweep_fwd_kernel(
             sl = slice_ref[block - 1 - b if reverse else b]
 
             def resample(c):
-                tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype,
-                              precision=prec)
-                return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
-                               precision=prec)
+                tmp = sweep_dot(mat_a, sl[c], precision, dtype)
+                return sweep_dot(tmp, mat_b, precision, dtype)
 
             # Rectify after interpolation: negative raw density is
             # vacuum.

@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuvr.kernels._compat import out_struct, use_interpret
-from tpuvr.kernels.sweep import _interp_matrices, dot_precision
+from tpuvr.kernels.sweep import _interp_matrices, sweep_dot
 
 
 def _sweep_bwd_kernel(
@@ -78,8 +78,6 @@ def _sweep_bwd_kernel(
 
     @pl.when(live)
     def _block():
-        prec = dot_precision(precision)
-
         # As in the forward kernel: several slices per grid step with
         # arithmetic occupancy gating (sigma *= enable => att = 1, w = 0,
         # zero grads — bit-identical to skipping) lets Mosaic pipeline
@@ -95,20 +93,18 @@ def _sweep_bwd_kernel(
             en = enable_ref[k]
 
             def resample(c):
-                tmp = jnp.dot(mat_a, sl[c], preferred_element_type=dtype,
-                              precision=prec)
-                return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
-                               precision=prec)
+                tmp = sweep_dot(mat_a, sl[c], precision, dtype)
+                return sweep_dot(tmp, mat_b, precision, dtype)
 
             def grad_to_slice(d_vu):
                 # A^T @ d @ B^T via transposed contractions.
-                tmp = jax.lax.dot_general(
-                    mat_a, d_vu, (((0,), (0,)), ((), ())),
-                    preferred_element_type=dtype, precision=prec,
+                tmp = sweep_dot(
+                    mat_a, d_vu, precision, dtype,
+                    dims=(((0,), (0,)), ((), ())),
                 )  # (Y, U)
-                return jax.lax.dot_general(
-                    tmp, mat_b, (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype, precision=prec,
+                return sweep_dot(
+                    tmp, mat_b, precision, dtype,
+                    dims=(((1,), (1,)), ((), ())),
                 )  # (Y, X)
 
             sig_raw = resample(0)

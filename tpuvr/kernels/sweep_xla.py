@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpuvr.kernels.sweep import _interp_matrices, dot_precision
+from tpuvr.kernels.sweep import _interp_matrices, sweep_dot
 
 
 def _traversal(grid_sc, coeffs, enables, reverse):
@@ -31,19 +31,15 @@ def _traversal(grid_sc, coeffs, enables, reverse):
     return slices, ay, by, ax, bx, enables
 
 
-def _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype, prec):
+def _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype, precision):
     n_y, n_x = sl.shape[1], sl.shape[2]
     mat_a, mat_b = _interp_matrices(
         ayk, byk, axk, bxk, n_v, n_y, n_x, n_u, dtype
     )
-    tmp = jax.lax.dot_general(
-        mat_a, sl, (((1,), (1,)), ((), ())), preferred_element_type=dtype,
-        precision=prec,
-    )
-    smp = jax.lax.dot_general(
-        tmp, mat_b, (((2,), (0,)), ((), ())), preferred_element_type=dtype,
-        precision=prec,
-    )
+    tmp = sweep_dot(mat_a, sl, precision, dtype,
+                    dims=(((1,), (1,)), ((), ())))
+    smp = sweep_dot(tmp, mat_b, precision, dtype,
+                    dims=(((2,), (0,)), ((), ())))
     return smp, mat_a, mat_b
 
 
@@ -60,7 +56,6 @@ def sweep_fwd_xla(
     """Scan-based forward sweep. Returns (rgb (3, V, U), trans (V, U))."""
     dtype = grid_sc.dtype
     n_v, n_u = dt_map.shape
-    prec = dot_precision(precision)
     slices, ay, by, ax, bx, en = _traversal(
         grid_sc, coeffs, enables, reverse
     )
@@ -70,7 +65,8 @@ def sweep_fwd_xla(
         sl, ayk, byk, axk, bxk, enk = inp
         live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
         go = jnp.logical_and(enk > 0, live)
-        smp, _, _ = _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype, prec)
+        smp, _, _ = _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype,
+                              precision)
         sigma = jnp.maximum(smp[:, 0, :], 0.0)
         att = jnp.exp(-(sigma_scale * sigma) * dt_map)
         att = jnp.where(go, att, 1.0)
@@ -111,7 +107,6 @@ def sweep_bwd_xla(
     """
     dtype = grid_sc.dtype
     n_v, n_u = dt_map.shape
-    prec = dot_precision(precision)
     slices, ay, by, ax, bx, en = _traversal(
         grid_sc, coeffs, enables, reverse
     )
@@ -122,7 +117,7 @@ def sweep_bwd_xla(
         live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
         go = jnp.logical_and(enk > 0, live)
         smp, mat_a, mat_b = _resample(
-            sl, ayk, byk, axk, bxk, n_v, n_u, dtype, prec
+            sl, ayk, byk, axk, bxk, n_v, n_u, dtype, precision
         )
         sig_raw = smp[:, 0, :]
         sigma = jnp.maximum(sig_raw, 0.0)
@@ -142,13 +137,13 @@ def sweep_bwd_xla(
         dsig = dsig * (sigma_scale * dt_map)
         dsig = jnp.where(sig_raw > 0.0, dsig, 0.0)
         dsmp = jnp.stack([dsig] + dsmp_c, axis=1)  # (V, 4, U)
-        tmp2 = jax.lax.dot_general(
-            mat_a, dsmp, (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype, precision=prec,
+        tmp2 = sweep_dot(
+            mat_a, dsmp, precision, dtype,
+            dims=(((0,), (0,)), ((), ())),
         )  # (Y, 4, U)
-        grad = jax.lax.dot_general(
-            tmp2, mat_b, (((2,), (1,)), ((), ())),
-            preferred_element_type=dtype, precision=prec,
+        grad = sweep_dot(
+            tmp2, mat_b, precision, dtype,
+            dims=(((2,), (1,)), ((), ())),
         )  # (Y, 4, X)
         grad = jnp.where(go, jnp.transpose(grad, (1, 0, 2)), 0.0)
 

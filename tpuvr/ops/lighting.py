@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuvr.config import LightingConfig
-from tpuvr.kernels.sweep import _interp_matrices, dot_precision
+from tpuvr.kernels.sweep import _interp_matrices, sweep_dot
 from tpuvr.ref.march import GRID_PERM, PT_PERM
 from tpuvr.ref.sample import trilinear
 
@@ -109,7 +109,6 @@ def _directional_tau(sigma, w, precision="highest", impl=None):
         tau_p = tau_sweep(sig_p, d_y=d_y, d_x=d_x, dt=dt,
                           precision=precision)
     else:
-        prec = dot_precision(precision)
         mat_a, mat_b = _interp_matrices(
             jnp.asarray(1.0, dtype), jnp.asarray(d_y, dtype),
             jnp.asarray(1.0, dtype), jnp.asarray(d_x, dtype),
@@ -118,10 +117,8 @@ def _directional_tau(sigma, w, precision="highest", impl=None):
 
         def shift(f):
             # f(y + d_y, x + d_x), zero outside.
-            tmp = jnp.dot(mat_a, f, preferred_element_type=dtype,
-                          precision=prec)
-            return jnp.dot(tmp, mat_b, preferred_element_type=dtype,
-                           precision=prec)
+            tmp = sweep_dot(mat_a, f, precision, dtype)
+            return sweep_dot(tmp, mat_b, precision, dtype)
 
         def step(tau_next, sig_next):
             tau = shift(tau_next + dt * jnp.maximum(sig_next, 0.0))
