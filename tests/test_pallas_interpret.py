@@ -65,3 +65,88 @@ def test_pallas_bwd_matches_xla_twin():
         grid_sc, coeffs, enables, dt_map, rgb, t, d_rgb, d_t, **kw
     )
     np.testing.assert_allclose(g_p, g_x, atol=1e-5)
+
+
+def test_banded_kernel_matches_dense():
+    """The banded forward kernel (128-tile band windows) must match the
+    dense kernel to f32 summation-order tolerance, across slope signs,
+    traversal direction, ERT, and window clamping at both grid edges."""
+    import numpy as np
+
+    from tpuvr.kernels.sweep import band_ok, sweep_fwd
+
+    rng = np.random.default_rng(7)
+    s, n_y, n_x = 6, 144, 160
+    n_v = n_u = 128
+    grid_sc = jnp.asarray(
+        rng.random((s, 4, n_y, n_x), dtype=np.float32) * 0.5
+    )
+    for ay0, ax0, reverse, eps in [
+        (0.9, 0.6, False, 0.0),
+        (-0.7, 0.8, True, 0.0),
+        (0.5, -0.5, False, 1e-2),
+    ]:
+        ay = jnp.full((s,), ay0, jnp.float32)
+        ax = jnp.full((s,), ax0, jnp.float32)
+        # Intercepts walk the band across (and past) both grid edges so
+        # the clamped-window paths are exercised.
+        by = jnp.linspace(-20.0, n_y + 20.0 - abs(ay0) * n_v, s,
+                          dtype=jnp.float32)
+        bx = jnp.linspace(n_x + 10.0 - abs(ax0) * n_u, -10.0, s,
+                          dtype=jnp.float32)
+        enables = jnp.asarray([1.0, 1.0, 0.0, 1.0, 1.0, 1.0], jnp.float32)
+        dt = jnp.full((n_v, n_u), 0.8, jnp.float32)
+        band = (abs(ay0), abs(ax0))
+        assert band_ok(band, n_v, n_u, n_y, n_x)
+        kw = dict(reverse=reverse, sigma_scale=1.3, early_stop_eps=eps,
+                  precision="highest")
+        rgb_b, t_b = sweep_fwd(grid_sc, (ay, by, ax, bx), enables, dt,
+                               band=band, **kw)
+        rgb_d, t_d = sweep_fwd(grid_sc, (ay, by, ax, bx), enables, dt,
+                               **kw)
+        np.testing.assert_allclose(rgb_b, rgb_d, atol=1e-5,
+                                   err_msg=f"{ay0},{ax0},{reverse},{eps}")
+        np.testing.assert_allclose(t_b, t_d, atol=1e-5)
+
+
+def test_banded_bwd_matches_dense():
+    """Banded backward (banded recompute + dense projection) vs the
+    dense backward kernel, same cases as the forward test."""
+    import numpy as np
+
+    from tpuvr.kernels.sweep import band_ok, sweep_fwd
+    from tpuvr.kernels.sweep_bwd import sweep_bwd
+
+    rng = np.random.default_rng(11)
+    s, n_y, n_x = 6, 144, 160
+    n_v = n_u = 128
+    grid_sc = jnp.asarray(
+        rng.random((s, 4, n_y, n_x), dtype=np.float32) * 0.5
+    )
+    d_color = jnp.asarray(rng.random((3, n_v, n_u), dtype=np.float32))
+    d_trans = jnp.asarray(rng.random((n_v, n_u), dtype=np.float32))
+    for ay0, ax0, reverse, eps in [
+        (0.9, 0.6, False, 0.0),
+        (-0.7, 0.8, True, 0.0),
+        (0.5, -0.5, False, 1e-2),
+    ]:
+        ay = jnp.full((s,), ay0, jnp.float32)
+        ax = jnp.full((s,), ax0, jnp.float32)
+        by = jnp.linspace(-20.0, n_y + 20.0 - abs(ay0) * n_v, s,
+                          dtype=jnp.float32)
+        bx = jnp.linspace(n_x + 10.0 - abs(ax0) * n_u, -10.0, s,
+                          dtype=jnp.float32)
+        enables = jnp.asarray([1.0, 1.0, 0.0, 1.0, 1.0, 1.0], jnp.float32)
+        dt = jnp.full((n_v, n_u), 0.8, jnp.float32)
+        band = (abs(ay0), abs(ax0))
+        assert band_ok(band, n_v, n_u, n_y, n_x)
+        kw = dict(reverse=reverse, sigma_scale=1.3, early_stop_eps=eps,
+                  precision="highest")
+        c_fin, t_fin = sweep_fwd(grid_sc, (ay, by, ax, bx), enables, dt,
+                                 **kw)
+        args = (grid_sc, (ay, by, ax, bx), enables, dt, c_fin, t_fin,
+                d_color, d_trans)
+        g_b = sweep_bwd(*args, band=band, **kw)
+        g_d = sweep_bwd(*args, **kw)
+        np.testing.assert_allclose(g_b, g_d, atol=2e-5,
+                                   err_msg=f"{ay0},{ax0},{reverse},{eps}")

@@ -63,6 +63,34 @@ def cmd_render(args):
         print(f"wrote {args.out}")
 
 
+def cmd_turntable(args):
+    """Orbit render loop — the batch analog of the reference's interactive
+    viewer: the volume is prepared once (layout + occupancy + lighting) and
+    each frame costs exactly one sweep + pixel warp (render_prepared)."""
+    import numpy as np
+
+    from tpuvr.io.image import write_png
+    from tpuvr.io.synth import orbit_cameras
+    from tpuvr.ops.render import prepare_grid, render_prepared
+    from tpuvr.ref.camera import dominant_axis
+
+    cfg = _load_config(args.config, args.scale)
+    grid, _ = _scene_and_camera(cfg)
+    cams = orbit_cameras(args.frames, cfg["grid_n"], res=cfg["res"])
+    axes = tuple(sorted({dominant_axis(c) for c in cams}))
+    prep = prepare_grid(grid, axes=axes, lighting=cfg.get("lighting"),
+                        precision=cfg["render"].precision, impl=args.impl)
+    t0 = time.time()
+    for i, cam in enumerate(cams):
+        rgb, _ = render_prepared(prep, cam, cfg["render"], impl=args.impl)
+        write_png(f"{args.out_dir}/frame_{i:04d}.png", np.asarray(rgb))
+    dt = time.time() - t0
+    print(json.dumps({
+        "frames": len(cams), "out_dir": args.out_dir,
+        "s_per_frame_incl_io_and_compile": round(dt / len(cams), 4),
+    }))
+
+
 def cmd_fit(args):
     import jax
 
@@ -184,6 +212,12 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("turntable", help="orbit render loop to PNGs")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=24)
+    sp.add_argument("--out-dir", default="/tmp/tpuvr_turntable")
+    sp.set_defaults(fn=cmd_turntable)
 
     sp = sub.add_parser("fit", help="inverse rendering (C9)")
     common(sp)

@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpuvr.config import RenderConfig
-from tpuvr.ops.geometry import plan_sweep, ray_dt, slice_coeffs, warp_to_pixels
+from tpuvr.ops.geometry import band_bounds, plan_sweep, ray_dt, slice_coeffs, warp_to_pixels
 from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
 from tpuvr.ops.vjp import resolve_impl, sweep_op
 from tpuvr.ref.camera import dominant_axis
@@ -72,6 +72,7 @@ def render_view_dp(
         cfg.early_stop_eps,
         resolve_impl(impl),
         cfg.precision,
+        band=band_bounds(plan),
     )
 
     def local(grid_sc, ay, by, ax, bx, enables, dt_tile):

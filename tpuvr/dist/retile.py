@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpuvr.config import RenderConfig
 from tpuvr.ops.geometry import (
+    band_bounds,
     plan_sweep,
     ray_dt,
     slice_coeffs,
@@ -115,7 +116,8 @@ def render_view_retiled(
     ay, by, ax, bx = slice_coeffs(plan, dtype)
     dt_map = ray_dt(plan, dtype)
     op = sweep_op(
-        False, cfg.sigma_scale, 0.0, resolve_impl(impl), cfg.precision
+        False, cfg.sigma_scale, 0.0, resolve_impl(impl), cfg.precision,
+        band=band_bounds(plan),
     )
 
     def local(grid_slab, ay, by, ax, bx, dt_tile):

@@ -38,7 +38,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpuvr.config import RenderConfig
-from tpuvr.ops.geometry import plan_sweep, ray_dt, slice_coeffs, warp_to_pixels
+from tpuvr.ops.geometry import band_bounds, plan_sweep, ray_dt, slice_coeffs, warp_to_pixels
 from tpuvr.ops.render import grid_to_sweep_layout
 from tpuvr.ops.vjp import resolve_impl, sweep_op
 from tpuvr.ref.camera import dominant_axis
@@ -133,7 +133,8 @@ def render_view_zsharded(
     ay, by, ax, bx = slice_coeffs(plan, dtype)  # already traversal order
     dt_map = ray_dt(plan, dtype)
     op = sweep_op(
-        False, cfg.sigma_scale, 0.0, resolve_impl(impl), cfg.precision
+        False, cfg.sigma_scale, 0.0, resolve_impl(impl), cfg.precision,
+        band=band_bounds(plan),
     )
 
     def local(grid_slab, ay, by, ax, bx, dt_tile):

@@ -189,11 +189,155 @@ def _sweep_fwd_kernel(
             tmax_ref[0] = jnp.max(trans_ref[...])
 
 
+_TILE = 128  # banded-kernel output tile edge == band window width
+
+
+def _band_window(f_first, f_last, extent, dtype):
+    """Clamped, 8-aligned window start covering an affine band's taps.
+
+    For tap positions f_i affine in i, all taps land in
+    [floor(min f), floor(max f) + 1]; the window [r0, r0 + _TILE) with
+    r0 = align8(clamp(floor(min f), 0, extent - _TILE)) covers every tap
+    that exists in [0, extent) as long as
+    |slope| <= (_TILE - 10) / (_TILE - 1) and extent % 8 == 0 (checked
+    statically in band_ok; the 8-alignment is Mosaic's dynamic sublane-
+    offset constraint). Returns (r0 int32, f_first - r0).
+    """
+    lo = jnp.minimum(f_first, f_last)
+    r0 = jnp.clip(
+        jnp.floor(lo), 0, extent - _TILE
+    ).astype(jnp.int32)
+    r0 = (r0 // 8) * 8
+    return r0, f_first - r0.astype(dtype)
+
+
+def band_ok(band, n_v, n_u, n_y, n_x) -> bool:
+    """Static predicate: can the banded kernel handle this sweep?
+
+    ``band`` is (max |ay|, max |ax|) over slices (see
+    tpuvr.ops.geometry.band_bounds). The banded kernel needs output
+    dims tiled by _TILE, grid planes at least one window wide and
+    8-aligned, and the band of a _TILE-row output tile to fit the
+    8-aligned window.
+    """
+    if band is None:
+        return False
+    slope_max = (_TILE - 10) / (_TILE - 1)
+    return (
+        n_v % _TILE == 0 and n_u % _TILE == 0
+        and n_y >= _TILE and n_x >= _TILE
+        and n_y % 8 == 0 and n_x % 8 == 0
+        and band[0] <= slope_max and band[1] <= slope_max
+    )
+
+
+def _sweep_fwd_banded_kernel(
+    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
+    slice_ref,  # (B, 4, Y, X) current block of grid slices
+    dt_ref,     # (V, U)
+    rgb_ref,    # (3, V, U) out, revisited
+    trans_ref,  # (V, U) out, revisited
+    tmp_ref,    # scratch (4, X, _TILE): transposed row-stage partials
+    tmax_ref,   # SMEM (1,) ERT state
+    *,
+    sigma_scale: float,
+    early_stop_eps: float,
+    precision: str,
+    block: int,
+    reverse: bool,
+):
+    """Banded forward sweep: exploits the 2-tap band structure of the
+    interpolation matrices. A _TILE-row/col output tile only touches a
+    _TILE-wide window of the slice, so each contraction shrinks from the
+    full grid extent to _TILE — a (Y/_TILE)x(X/_TILE)-fold MXU FLOP cut
+    vs the dense kernel (2x at 256^3 @ 512^2, 4x at 512^3 @ 1024^2).
+    Both window slices land on SUBLANE dims: the row stage computes the
+    transposed partial (X, Tv) so the column stage's X-window is again a
+    sublane slice (Mosaic's dynamic lane slicing is the thing to avoid).
+    Bit-compatible with the dense kernel up to f32 summation order.
+    """
+    step = pl.program_id(0)
+    n_v, n_u = trans_ref.shape
+    n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
+    dtype = trans_ref.dtype
+    t = _TILE
+
+    @pl.when(step == 0)
+    def _init():
+        rgb_ref[...] = jnp.zeros_like(rgb_ref)
+        trans_ref[...] = jnp.ones_like(trans_ref)
+        tmax_ref[0] = jnp.asarray(1.0, dtype)
+
+    live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
+
+    @pl.when(live)
+    def _block():
+        ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(dtype)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(dtype)
+
+        def slice_body(b):
+            k = step * block + b
+            i_sl = block - 1 - b if reverse else b
+            ay, by, ax, bx = ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k]
+            en = enable_ref[k]
+            for vt in range(n_v // t):
+                v0 = vt * t
+                f0 = v0 * ay + by
+                r0, boff = _band_window(
+                    f0, f0 + (t - 1) * ay, n_y, dtype
+                )
+                # A_t[i, j] = w(taps): rows are output rays v0+i, cols
+                # window rows r0+j of the slice.
+                mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(ii * ay + boff - jj))
+                # Transposed partial (X, Tv): window rows on sublanes now
+                # AND for the next stage (staged through a VMEM scratch —
+                # Mosaic only dynamic-slices refs, not values).
+                for c in range(4):
+                    tmp_ref[c] = sweep_dot(
+                        slice_ref[i_sl, c, pl.ds(r0, t), :], mat_a,
+                        precision, dtype,
+                        dims=(((0,), (1,)), ((), ())),
+                    )
+                for ut in range(n_u // t):
+                    u0 = ut * t
+                    g0 = u0 * ax + bx
+                    c0, coff = _band_window(
+                        g0, g0 + (t - 1) * ax, n_x, dtype
+                    )
+                    # B_t[j, u]: window cols c0+j, output rays u0+u.
+                    mat_b = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(jj * ax + coff - ii)
+                    )
+
+                    def resample(c):
+                        return sweep_dot(
+                            tmp_ref[c, pl.ds(c0, t), :],
+                            mat_b, precision,
+                            dtype, dims=(((0,), (0,)), ((), ())),
+                        )
+
+                    vs = slice(v0, v0 + t)
+                    us = slice(u0, u0 + t)
+                    sigma = jnp.maximum(resample(0), 0.0) * en
+                    att = jnp.exp(-(sigma_scale * sigma) * dt_ref[vs, us])
+                    trans = trans_ref[vs, us]
+                    w = trans * (1.0 - att)
+                    rgb_ref[0, vs, us] += w * resample(1)
+                    rgb_ref[1, vs, us] += w * resample(2)
+                    rgb_ref[2, vs, us] += w * resample(3)
+                    trans_ref[vs, us] = trans * att
+
+        for b in range(block):
+            slice_body(b)
+        if early_stop_eps > 0.0:
+            tmax_ref[0] = jnp.max(trans_ref[...])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "reverse", "sigma_scale", "early_stop_eps", "precision", "interpret",
-        "block", "gate",
+        "block", "gate", "band",
     ),
 )
 def sweep_fwd(
@@ -209,12 +353,14 @@ def sweep_fwd(
     interpret: bool | None = None,
     block: int | None = None,
     gate: str = "mul",
+    band: tuple | None = None,
 ):
     """Run the forward sweep. Returns (rgb (3, V, U), trans (V, U)).
 
     ``reverse=True`` visits grid slices in descending index order (rays with
     negative sweep-axis direction); coefficient arrays are always indexed by
-    traversal step.
+    traversal step. ``band`` = static (max |ay|, max |ax|) enables the
+    banded kernel when the shapes qualify (see band_ok).
     """
     if interpret is None:
         interpret = use_interpret()
@@ -231,15 +377,31 @@ def sweep_fwd(
     def block_index(step):
         return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
-    kernel = functools.partial(
-        _sweep_fwd_kernel,
-        sigma_scale=float(sigma_scale),
-        early_stop_eps=float(early_stop_eps),
-        precision=precision,
-        block=block,
-        reverse=reverse,
-        gate=gate,
-    )
+    banded = band_ok(band, n_v, n_u, n_y, n_x) and gate == "mul"
+    if banded:
+        kernel = functools.partial(
+            _sweep_fwd_banded_kernel,
+            sigma_scale=float(sigma_scale),
+            early_stop_eps=float(early_stop_eps),
+            precision=precision,
+            block=block,
+            reverse=reverse,
+        )
+        scratch = [
+            pltpu.VMEM((4, n_x, _TILE), dtype),
+            pltpu.SMEM((1,), dtype),
+        ]
+    else:
+        kernel = functools.partial(
+            _sweep_fwd_kernel,
+            sigma_scale=float(sigma_scale),
+            early_stop_eps=float(early_stop_eps),
+            precision=precision,
+            block=block,
+            reverse=reverse,
+            gate=gate,
+        )
+        scratch = [pltpu.SMEM((1,), dtype)]
     # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
     # kernels index them with program_id.
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -267,7 +429,7 @@ def sweep_fwd(
             out_struct((3, n_v, n_u), dtype, by, dt_map),
             out_struct((n_v, n_u), dtype, by, dt_map),
         ],
-        scratch_shapes=[pltpu.SMEM((1,), dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -43,7 +43,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuvr.kernels._compat import out_struct, use_interpret
-from tpuvr.kernels.sweep import _interp_matrices, sweep_dot
+from tpuvr.kernels.sweep import (
+    _TILE,
+    _band_window,
+    _interp_matrices,
+    band_ok,
+    sweep_dot,
+)
 
 
 def _sweep_bwd_kernel(
@@ -140,10 +146,150 @@ def _sweep_bwd_kernel(
         grad_ref[...] = jnp.zeros_like(grad_ref)
 
 
+def _sweep_bwd_banded_kernel(
+    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
+    slice_ref,   # (B, 4, Y, X) block of grid slices (recompute)
+    dt_ref,      # (V, U)
+    dbias_ref,   # (V, U)
+    d_c_ref,     # (3, V, U)
+    grad_ref,    # out: (B, 4, Y, X)
+    trans_ref,   # scratch (V, U)
+    q_ref,       # scratch (V, U)
+    dsig_ref,    # scratch (V, U): assembled density cotangent plane
+    w_ref,       # scratch (V, U): assembled emission weight plane
+    tmp_ref,     # scratch (4, X, _TILE): transposed row-stage partials
+    tmax_ref,    # scratch SMEM (1,)
+    *,
+    sigma_scale: float,
+    early_stop_eps: float,
+    precision: str,
+    block: int,
+    reverse: bool,
+):
+    """Banded backward sweep.
+
+    The recompute side is the banded forward pattern (half the dense MXU
+    work — see _sweep_fwd_banded_kernel): per (v, u) output tile, the
+    resamples contract over _TILE-wide slice windows, and the per-ray
+    cotangent planes dsig = dL/d(sigma samples) and w = T(1-att) are
+    assembled tile-by-tile into (V, U) scratches. The gradient projection
+    A^T dS B^T then runs dense from those planes (its transpose direction
+    is downsampling, slope > 1, so tap windows exceed the tile and banding
+    it buys little at these shapes). Same math as the dense kernel up to
+    f32 summation order.
+    """
+    step = pl.program_id(0)
+    n_v, n_u = trans_ref.shape
+    n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
+    dtype = trans_ref.dtype
+    t = _TILE
+
+    @pl.when(step == 0)
+    def _init():
+        trans_ref[...] = jnp.ones_like(trans_ref)
+        q_ref[...] = jnp.zeros_like(q_ref)
+        tmax_ref[0] = jnp.asarray(1.0, dtype)
+
+    live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
+
+    @pl.when(live)
+    def _block():
+        ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(dtype)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(dtype)
+
+        def slice_body(b):
+            k = step * block + b
+            i_sl = block - 1 - b if reverse else b
+            ay, by, ax, bx = ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k]
+            en = enable_ref[k]
+
+            # Stage 1 (banded): recompute per-ray state tile-by-tile and
+            # assemble the dsig / w cotangent planes.
+            for vt in range(n_v // t):
+                v0 = vt * t
+                f0 = v0 * ay + by
+                r0, boff = _band_window(f0, f0 + (t - 1) * ay, n_y, dtype)
+                mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(ii * ay + boff - jj))
+                for c in range(4):
+                    tmp_ref[c] = sweep_dot(
+                        slice_ref[i_sl, c, pl.ds(r0, t), :], mat_a,
+                        precision, dtype,
+                        dims=(((0,), (1,)), ((), ())),
+                    )
+                for ut in range(n_u // t):
+                    u0 = ut * t
+                    g0 = u0 * ax + bx
+                    c0, coff = _band_window(
+                        g0, g0 + (t - 1) * ax, n_x, dtype
+                    )
+                    mat_b = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(jj * ax + coff - ii)
+                    )
+
+                    def resample(c):
+                        return sweep_dot(
+                            tmp_ref[c, pl.ds(c0, t), :], mat_b, precision,
+                            dtype, dims=(((0,), (0,)), ((), ())),
+                        )
+
+                    vs = slice(v0, v0 + t)
+                    us = slice(u0, u0 + t)
+                    sig_raw = resample(0)
+                    sigma = jnp.maximum(sig_raw, 0.0) * en
+                    dt = dt_ref[vs, us]
+                    att = jnp.exp(-(sigma_scale * sigma) * dt)
+                    trans = trans_ref[vs, us]
+                    w = trans * (1.0 - att)
+                    q = q_ref[vs, us]
+                    dsig = -dbias_ref[vs, us]
+                    for c in range(3):
+                        smp_c = resample(c + 1)
+                        d_c = d_c_ref[c, vs, us]
+                        q = q + (d_c * w) * smp_c
+                        dsig = dsig + d_c * (trans * att) * smp_c
+                    q_ref[vs, us] = q
+                    dsig = (dsig + q) * (sigma_scale * dt)
+                    dsig = jnp.where(sig_raw > 0.0, dsig, 0.0) * en
+                    dsig_ref[vs, us] = dsig
+                    w_ref[vs, us] = w
+                    trans_ref[vs, us] = trans * att
+
+            # Stage 2 (dense): project the assembled cotangent planes back
+            # to the slice: grad = A^T dS B^T, written exactly once.
+            mat_a, mat_b = _interp_matrices(
+                ay, by, ax, bx, n_v, n_y, n_x, n_u, dtype
+            )
+
+            def grad_to_slice(d_vu):
+                tmpg = sweep_dot(
+                    mat_a, d_vu, precision, dtype,
+                    dims=(((0,), (0,)), ((), ())),
+                )  # (Y, U)
+                return sweep_dot(
+                    tmpg, mat_b, precision, dtype,
+                    dims=(((1,), (1,)), ((), ())),
+                )  # (Y, X)
+
+            grad_ref[i_sl, 0] = grad_to_slice(dsig_ref[...])
+            for c in range(3):
+                grad_ref[i_sl, c + 1] = grad_to_slice(
+                    d_c_ref[c] * w_ref[...]
+                )
+
+        for b in range(block):
+            slice_body(b)
+        if early_stop_eps > 0.0:
+            tmax_ref[0] = jnp.max(trans_ref[...])
+
+    @pl.when(jnp.logical_not(live))
+    def _skipped():
+        grad_ref[...] = jnp.zeros_like(grad_ref)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("reverse", "sigma_scale", "early_stop_eps",
-                     "precision", "interpret", "block"),
+                     "precision", "interpret", "block", "band"),
 )
 def sweep_bwd(
     grid_sc,     # (S, 4, Y, X)
@@ -161,10 +307,12 @@ def sweep_bwd(
     precision: str = "highest",
     interpret: bool | None = None,
     block: int | None = None,
+    band: tuple | None = None,
 ):
     """Gradient of the sweep w.r.t. the grid.
 
     Returns (S, 4, Y, X) gradient in the same layout as ``grid_sc``.
+    ``band`` as in sweep_fwd enables the banded recompute.
     """
     if interpret is None:
         interpret = use_interpret()
@@ -181,8 +329,9 @@ def sweep_bwd(
     def block_index(step):
         return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
+    banded = band_ok(band, n_v, n_u, n_y, n_x)
     kernel = functools.partial(
-        _sweep_bwd_kernel,
+        _sweep_bwd_banded_kernel if banded else _sweep_bwd_kernel,
         sigma_scale=float(sigma_scale),
         early_stop_eps=float(early_stop_eps),
         precision=precision,
@@ -213,11 +362,11 @@ def sweep_bwd(
             (block, 4, n_y, n_x), block_index, memory_space=pltpu.VMEM,
         ),
         out_shape=out_struct((s, 4, n_y, n_x), dtype, by, dt_map, d_color),
-        scratch_shapes=[
-            pltpu.VMEM((n_v, n_u), dtype),
-            pltpu.VMEM((n_v, n_u), dtype),
-            pltpu.SMEM((1,), dtype),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((n_v, n_u), dtype)] * (4 if banded else 2)
+            + ([pltpu.VMEM((4, n_x, _TILE), dtype)] if banded else [])
+            + [pltpu.SMEM((1,), dtype)]
+        ),
         # The resident ray planes + matmul temporaries exceed the 16 MB
         # default scoped-vmem budget at 256^3 @ 512^2; the chip has far
         # more physical VMEM.

@@ -202,6 +202,23 @@ def slice_coeffs(plan: SweepPlan, dtype=jnp.float32):
     )
 
 
+def band_bounds(plan: SweepPlan) -> Tuple[float, float]:
+    """Static (max |ay|, max |ax|) over all slices.
+
+    Feeds the banded Pallas kernel's qualification check
+    (tpuvr.kernels.sweep.band_ok): the per-slice interpolation matrices
+    are 2-tap bands with these slopes, computable host-side because the
+    plan is static (mirrors slice_coeffs).
+    """
+    u0, du, v0, dv = plan.lattice
+    if plan.ortho:
+        return (abs(float(dv)), abs(float(du)))
+    ez = plan.cam_params[2]
+    p = np.arange(plan.n_planes, dtype=np.float64)
+    sp_max = float(np.abs(1.0 - p / ez).max())
+    return (abs(float(dv)) * sp_max, abs(float(du)) * sp_max)
+
+
 def ray_dt(plan: SweepPlan, dtype=jnp.float32):
     """Per-intermediate-ray step length (n_v, n_u), unit-speed rays.
 
@@ -287,7 +304,7 @@ def view_geometry(cam, grid_shape, dtype=jnp.float32, oversample=1.0):
         "lattice": jnp.asarray(plan.lattice, dtype=dtype),
         "uv": jnp.asarray(uv_pixel, dtype=dtype),
     }
-    return axis, plan.reverse, geom
+    return axis, plan.reverse, geom, band_bounds(plan)
 
 
 def warp_to_pixels_dynamic(intermediate, lattice, uv_pixel):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from tpuvr.config import LightingConfig, RenderConfig
 from tpuvr.ops.geometry import (
+    band_bounds,
     plan_sweep,
     ray_dt,
     slice_coeffs,
@@ -142,6 +143,7 @@ def render_prepared(
         cfg.early_stop_eps,
         resolve_impl(impl),
         cfg.precision,
+        band=band_bounds(plan),
     )
     rgb, trans = chunked_sweep(
         op, grid_sc, coeffs, enables, dt_map,
@@ -192,10 +194,12 @@ def render_with_geom(
     cfg: RenderConfig = RenderConfig(),
     impl: Optional[str] = None,
     mesh=None,
+    band: Optional[tuple] = None,
 ):
     """Render from precomputed per-view geometry arrays (training path).
 
-    ``geom`` is the dict from :func:`tpuvr.ops.geometry.view_geometry`.
+    ``geom`` is the dict from :func:`tpuvr.ops.geometry.view_geometry`
+    (``band`` its static band bound, if the caller tracked one).
     With ``mesh`` (a 1-D 'data' Mesh), intermediate-image rows are sharded
     across devices inside shard_map and the grid stays replicated — the
     C10 ray-tile DP; gradients w.r.t. grid psum automatically through
@@ -210,7 +214,7 @@ def render_with_geom(
     enables = slice_enables(grid_sc, reverse, cfg.use_occupancy)
     op = sweep_op(
         reverse, cfg.sigma_scale, cfg.early_stop_eps, resolve_impl(impl),
-        cfg.precision,
+        cfg.precision, band=band,
     )
     coeffs = geom["coeffs"]
     ay, by, ax, bx = coeffs[0], coeffs[1], coeffs[2], coeffs[3]

@@ -33,8 +33,14 @@ def sweep_op(
     early_stop_eps: float,
     impl: str,
     precision: str = "highest",
+    band: tuple | None = None,
 ):
-    """Differentiable sweep: (grid_sc, coeffs, enables, dt_map) -> (rgb, T)."""
+    """Differentiable sweep: (grid_sc, coeffs, enables, dt_map) -> (rgb, T).
+
+    ``band`` = static (max |ay|, max |ax|) from
+    tpuvr.ops.geometry.band_bounds; when the shapes qualify, the Pallas
+    forward uses the banded kernel (half the MXU work at 256^3 @ 512^2).
+    """
     kw = dict(
         reverse=reverse,
         sigma_scale=sigma_scale,
@@ -42,7 +48,8 @@ def sweep_op(
         precision=precision,
     )
     if impl == "pallas":
-        fwd_fn, bwd_fn = sweep_fwd, sweep_bwd
+        fwd_fn = functools.partial(sweep_fwd, band=band)
+        bwd_fn = functools.partial(sweep_bwd, band=band)
     elif impl == "xla":
         fwd_fn, bwd_fn = sweep_fwd_xla, sweep_bwd_xla
     else:

@@ -58,18 +58,22 @@ def init_params(grid_shape, density_softplus: bool, dtype=jnp.float32):
 def group_views(cams, grid_shape, dtype=jnp.float32):
     """Group cameras by static sweep signature; stack their geometry.
 
-    Returns {(axis, reverse): (view_indices, stacked_geom)}.
+    Returns {(axis, reverse): (view_indices, stacked_geom, band)} with
+    ``band`` the group-wide static (max |ay|, max |ax|) bound for the
+    banded kernel.
     """
-    groups: Dict[Tuple[int, bool], Tuple[List[int], List]] = {}
+    groups: Dict[Tuple[int, bool], Tuple[List[int], List, List]] = {}
     for i, cam in enumerate(cams):
-        axis, reverse, geom = view_geometry(cam, grid_shape, dtype)
-        groups.setdefault((axis, reverse), ([], []))
+        axis, reverse, geom, band = view_geometry(cam, grid_shape, dtype)
+        groups.setdefault((axis, reverse), ([], [], []))
         groups[(axis, reverse)][0].append(i)
         groups[(axis, reverse)][1].append(geom)
+        groups[(axis, reverse)][2].append(band)
     out = {}
-    for key, (idxs, geoms) in groups.items():
+    for key, (idxs, geoms, bands) in groups.items():
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *geoms)
-        out[key] = (idxs, stacked)
+        band = (max(b[0] for b in bands), max(b[1] for b in bands))
+        out[key] = (idxs, stacked, band)
     return out
 
 
@@ -82,6 +86,7 @@ def make_train_step(
     impl: Optional[str],
     mesh,
     grad_buckets: int = 4,
+    band: Optional[tuple] = None,
 ):
     """One jitted train step for a view group (axis, reverse static).
 
@@ -114,7 +119,8 @@ def make_train_step(
                 for i in range(n_views):
                     geom_i = jax.tree.map(lambda a: a[i], geom_batch)
                     rgb, _ = render_with_geom(
-                        grid, geom_i, axis, reverse, render_cfg, impl=impl
+                        grid, geom_i, axis, reverse, render_cfg, impl=impl,
+                        band=band,
                     )
                     total = total + jnp.mean((rgb - targets[i]) ** 2)
                 return total / n_views
@@ -129,7 +135,7 @@ def make_train_step(
     n_shards = mesh.shape["data"]
     op = sweep_op(
         reverse, render_cfg.sigma_scale, render_cfg.early_stop_eps,
-        resolve_impl(impl), render_cfg.precision,
+        resolve_impl(impl), render_cfg.precision, band=band,
     )
 
     def local(params, geom_batch, targets):
@@ -236,17 +242,18 @@ def fit_grid(
     group_keys = sorted(groups.keys())
     steps_fns = {}
     for key in group_keys:
-        idxs, _ = groups[key]
+        idxs, _, band = groups[key]
         k_views = min(cfg.views_per_batch, len(idxs))
         steps_fns[key] = make_train_step(
-            key, k_views, opt, render_cfg, cfg.density_softplus, impl, mesh
+            key, k_views, opt, render_cfg, cfg.density_softplus, impl,
+            mesh, band=band,
         )
 
     rng = np.random.default_rng(cfg.seed + start_step)
     history = {"loss": []}
     for step_no in range(start_step, cfg.steps):
         key = group_keys[step_no % len(group_keys)]
-        idxs, geom_stacked = groups[key]
+        idxs, geom_stacked, _ = groups[key]
         k_views = min(cfg.views_per_batch, len(idxs))
         pick = rng.choice(len(idxs), size=k_views, replace=False)
         geom_batch = jax.tree.map(lambda a: a[jnp.asarray(pick)],
