@@ -150,3 +150,40 @@ def test_banded_bwd_matches_dense():
         g_d = sweep_bwd(*args, **kw)
         np.testing.assert_allclose(g_b, g_d, atol=2e-5,
                                    err_msg=f"{ay0},{ax0},{reverse},{eps}")
+
+
+def test_banded_bwd_windowed_uside():
+    """A shape where the banded gradient projection's u-window is
+    genuinely narrower than U (w_u < n_u), vs the dense backward."""
+    import numpy as np
+
+    from tpuvr.kernels.sweep import sweep_fwd
+    from tpuvr.kernels.sweep_bwd import sweep_bwd
+
+    rng = np.random.default_rng(13)
+    s, n_y, n_x = 4, 232, 256  # X tiled by 128 -> windowed u-side active
+    n_v = n_u = 256
+    grid_sc = jnp.asarray(
+        rng.random((s, 4, n_y, n_x), dtype=np.float32) * 0.5
+    )
+    ay0, ax0 = 0.85, -0.9
+    ay = jnp.full((s,), ay0, jnp.float32)
+    ax = jnp.full((s,), ax0, jnp.float32)
+    by = jnp.linspace(-5.0, 12.0, s, dtype=jnp.float32)
+    bx = jnp.linspace(n_x + 5.0, n_x - 2.0, s, dtype=jnp.float32)
+    # sanity: this shape must actually take the windowed u-side
+    from tpuvr.kernels.sweep import _TILE
+    assert n_x % _TILE == 0
+    enables = jnp.ones((s,), jnp.float32)
+    dt = jnp.full((n_v, n_u), 0.7, jnp.float32)
+    d_color = jnp.asarray(rng.random((3, n_v, n_u), dtype=np.float32))
+    d_trans = jnp.asarray(rng.random((n_v, n_u), dtype=np.float32))
+    band = (abs(ay0), abs(ax0), abs(ay0), abs(ax0))
+    kw = dict(reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
+              precision="highest")
+    c_fin, t_fin = sweep_fwd(grid_sc, (ay, by, ax, bx), enables, dt, **kw)
+    args = (grid_sc, (ay, by, ax, bx), enables, dt, c_fin, t_fin,
+            d_color, d_trans)
+    g_b = sweep_bwd(*args, band=band, **kw)
+    g_d = sweep_bwd(*args, **kw)
+    np.testing.assert_allclose(g_b, g_d, atol=2e-5)

@@ -158,6 +158,8 @@ def _sweep_bwd_banded_kernel(
     dsig_ref,    # scratch (V, U): assembled density cotangent plane
     w_ref,       # scratch (V, U): assembled emission weight plane
     tmp_ref,     # scratch (4, X, _TILE): transposed row-stage partials
+    p_ref,       # scratch (Y, U): banded grad partial A^T dS
+    pt_ref,      # scratch (U, Y): its transpose (u on sublanes)
     tmax_ref,    # scratch SMEM (1,)
     *,
     sigma_scale: float,
@@ -165,6 +167,7 @@ def _sweep_bwd_banded_kernel(
     precision: str,
     block: int,
     reverse: bool,
+    w_u: int,
 ):
     """Banded backward sweep.
 
@@ -172,11 +175,17 @@ def _sweep_bwd_banded_kernel(
     work — see _sweep_fwd_banded_kernel): per (v, u) output tile, the
     resamples contract over _TILE-wide slice windows, and the per-ray
     cotangent planes dsig = dL/d(sigma samples) and w = T(1-att) are
-    assembled tile-by-tile into (V, U) scratches. The gradient projection
-    A^T dS B^T then runs dense from those planes (its transpose direction
-    is downsampling, slope > 1, so tap windows exceed the tile and banding
-    it buys little at these shapes). Same math as the dense kernel up to
-    f32 summation order.
+    assembled tile-by-tile into (V, U) scratches.
+
+    The gradient projection A^T dS B^T is then banded in its own
+    (transpose, downsampling) direction: the v-contraction accumulates
+    _TILE-row tiles of dS into the (Y, U) partial P through _TILE-wide
+    y-windows; P is transposed in-kernel so the u-contraction's tap
+    window (width ``w_u`` ~ (_TILE+2)/|ax|, larger than the tile because
+    the transpose direction has slope 1/|ax| > 1) is again a sublane
+    slice; each _TILE-column grad tile is then one (w_u)-contraction.
+    ``w_u == U`` statically disables that last banding (dense u-side).
+    Same math as the dense kernel up to f32 summation order.
     """
     step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
@@ -254,27 +263,69 @@ def _sweep_bwd_banded_kernel(
                     w_ref[vs, us] = w
                     trans_ref[vs, us] = trans * att
 
-            # Stage 2 (dense): project the assembled cotangent planes back
-            # to the slice: grad = A^T dS B^T, written exactly once.
-            mat_a, mat_b = _interp_matrices(
-                ay, by, ax, bx, n_v, n_y, n_x, n_u, dtype
-            )
+            # Stage 2 (banded transpose): grad = A^T dS B^T from the
+            # assembled planes, written exactly once per slice.
+            inv_ax = 1.0 / jnp.abs(ax)
+            for g in range(4):
 
-            def grad_to_slice(d_vu):
-                tmpg = sweep_dot(
-                    mat_a, d_vu, precision, dtype,
-                    dims=(((0,), (0,)), ((), ())),
-                )  # (Y, U)
-                return sweep_dot(
-                    tmpg, mat_b, precision, dtype,
-                    dims=(((1,), (1,)), ((), ())),
-                )  # (Y, X)
+                def d_rows(v0):
+                    s = (slice(v0, v0 + t), slice(None))
+                    return (dsig_ref[s] if g == 0
+                            else d_c_ref[g - 1, s[0], s[1]] * w_ref[s])
 
-            grad_ref[i_sl, 0] = grad_to_slice(dsig_ref[...])
-            for c in range(3):
-                grad_ref[i_sl, c + 1] = grad_to_slice(
-                    d_c_ref[c] * w_ref[...]
-                )
+                # 2a: v-contraction into P through y-windows.
+                p_ref[...] = jnp.zeros_like(p_ref)
+                for vt in range(n_v // t):
+                    v0 = vt * t
+                    f0 = v0 * ay + by
+                    r0, boff = _band_window(
+                        f0, f0 + (t - 1) * ay, n_y, dtype
+                    )
+                    mat_a = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(ii * ay + boff - jj)
+                    )
+                    p_ref[pl.ds(r0, t), :] += sweep_dot(
+                        mat_a, d_rows(v0), precision, dtype,
+                        dims=(((0,), (0,)), ((), ())),
+                    )
+                if w_u >= n_u:
+                    # Dense u-side: one (Y,U)@(U,X) via B^T.
+                    mat_b = _interp_matrices(
+                        ay, by, ax, bx, n_v, n_y, n_x, n_u, dtype
+                    )[1]
+                    grad_ref[i_sl, g] = sweep_dot(
+                        p_ref[...], mat_b, precision, dtype,
+                        dims=(((1,), (1,)), ((), ())),
+                    )
+                    continue
+                # 2b/2c: transpose so u is on sublanes, then one
+                # w_u-contraction per _TILE-column grad tile.
+                pt_ref[...] = jnp.transpose(p_ref[...], (1, 0))
+                for xt in range(n_x // t):
+                    x0 = xt * t
+                    u_a = (x0 - bx) / ax
+                    u_b = (x0 + (t - 1) - bx) / ax
+                    lo = jnp.minimum(u_a, u_b) - inv_ax
+                    u0w = jnp.clip(
+                        jnp.floor(lo), 0, n_u - w_u
+                    ).astype(jnp.int32)
+                    u0w = (u0w // 8) * 8
+                    # B_w[j, x'] = w((u0w+j)*ax + bx - (x0+x')).
+                    jw = jax.lax.broadcasted_iota(
+                        jnp.int32, (w_u, t), 0
+                    ).astype(dtype)
+                    xx = jax.lax.broadcasted_iota(
+                        jnp.int32, (w_u, t), 1
+                    ).astype(dtype)
+                    off = u0w.astype(dtype) * ax + bx - x0
+                    mat_bw = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(jw * ax + off - xx)
+                    )
+                    grad_ref[i_sl, g, :, x0:x0 + t] = sweep_dot(
+                        pt_ref[pl.ds(u0w, w_u), :], mat_bw,
+                        precision, dtype,
+                        dims=(((0,), (0,)), ((), ())),
+                    )  # (Y, t): lhs free dim Y, rhs free dim t
 
         for b in range(block):
             slice_body(b)
@@ -330,14 +381,43 @@ def sweep_bwd(
         return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
     banded = band_ok(band, n_v, n_u, n_y, n_x)
-    kernel = functools.partial(
-        _sweep_bwd_banded_kernel if banded else _sweep_bwd_kernel,
-        sigma_scale=float(sigma_scale),
-        early_stop_eps=float(early_stop_eps),
-        precision=precision,
-        block=block,
-        reverse=reverse,
-    )
+    if banded:
+        # Static u-window width for the banded gradient projection: the
+        # transpose direction has slope 1/|ax| > 1, so a _TILE-column
+        # grad tile's taps span ~(_TILE + 2)/|ax| rays (+ alignment and
+        # clamping slack). w_u >= n_u statically degrades to the dense
+        # u-side inside the kernel.
+        ax_min = band[3] if len(band) > 3 else band[1]
+        # The windowed u-side tiles the grad plane's X extent statically;
+        # a remainder tile would be skipped, so it needs X % _TILE == 0
+        # (w_u = n_u selects the dense u-side inside the kernel). At
+        # 'default' (1-pass bf16) the window/transpose overhead outweighs
+        # the cheap MXU savings — measured 0.95x — so it stays dense-u.
+        if ax_min > 0 and n_x % _TILE == 0 and precision != "default":
+            import math as _math
+
+            w_u = -(-(int(_math.ceil((_TILE + 3.0) / ax_min)) + 24) // 8) * 8
+            w_u = min(w_u, n_u)
+        else:
+            w_u = n_u
+        kernel = functools.partial(
+            _sweep_bwd_banded_kernel,
+            sigma_scale=float(sigma_scale),
+            early_stop_eps=float(early_stop_eps),
+            precision=precision,
+            block=block,
+            reverse=reverse,
+            w_u=w_u,
+        )
+    else:
+        kernel = functools.partial(
+            _sweep_bwd_kernel,
+            sigma_scale=float(sigma_scale),
+            early_stop_eps=float(early_stop_eps),
+            precision=precision,
+            block=block,
+            reverse=reverse,
+        )
     # One resident bias plane instead of (c_final, t_final, d_trans):
     # dbias = sum_c dC_c * C_final_c + dT * T_final (see module docstring).
     dbias = jnp.einsum("cvu,cvu->vu", d_color, c_final) + d_trans * t_final
@@ -364,7 +444,9 @@ def sweep_bwd(
         out_shape=out_struct((s, 4, n_y, n_x), dtype, by, dt_map, d_color),
         scratch_shapes=(
             [pltpu.VMEM((n_v, n_u), dtype)] * (4 if banded else 2)
-            + ([pltpu.VMEM((4, n_x, _TILE), dtype)] if banded else [])
+            + ([pltpu.VMEM((4, n_x, _TILE), dtype),
+                pltpu.VMEM((n_y, n_u), dtype),
+                pltpu.VMEM((n_u, n_y), dtype)] if banded else [])
             + [pltpu.SMEM((1,), dtype)]
         ),
         # The resident ray planes + matmul temporaries exceed the 16 MB

@@ -202,21 +202,25 @@ def slice_coeffs(plan: SweepPlan, dtype=jnp.float32):
     )
 
 
-def band_bounds(plan: SweepPlan) -> Tuple[float, float]:
-    """Static (max |ay|, max |ax|) over all slices.
+def band_bounds(plan: SweepPlan) -> Tuple[float, float, float, float]:
+    """Static (max |ay|, max |ax|, min |ay|, min |ax|) over all slices.
 
-    Feeds the banded Pallas kernel's qualification check
-    (tpuvr.kernels.sweep.band_ok): the per-slice interpolation matrices
-    are 2-tap bands with these slopes, computable host-side because the
-    plan is static (mirrors slice_coeffs).
+    Feeds the banded Pallas kernels (tpuvr.kernels.sweep.band_ok): the
+    per-slice interpolation matrices are 2-tap bands with these slopes,
+    computable host-side because the plan is static (mirrors
+    slice_coeffs). The maxima bound the forward-direction tap windows;
+    the minima bound the transpose-direction (gradient) windows.
     """
     u0, du, v0, dv = plan.lattice
     if plan.ortho:
-        return (abs(float(dv)), abs(float(du)))
+        return (abs(float(dv)), abs(float(du)),
+                abs(float(dv)), abs(float(du)))
     ez = plan.cam_params[2]
     p = np.arange(plan.n_planes, dtype=np.float64)
-    sp_max = float(np.abs(1.0 - p / ez).max())
-    return (abs(float(dv)) * sp_max, abs(float(du)) * sp_max)
+    sp = np.abs(1.0 - p / ez)
+    sp_max, sp_min = float(sp.max()), float(sp.min())
+    return (abs(float(dv)) * sp_max, abs(float(du)) * sp_max,
+            abs(float(dv)) * sp_min, abs(float(du)) * sp_min)
 
 
 def ray_dt(plan: SweepPlan, dtype=jnp.float32):

@@ -72,7 +72,8 @@ def group_views(cams, grid_shape, dtype=jnp.float32):
     out = {}
     for key, (idxs, geoms, bands) in groups.items():
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *geoms)
-        band = (max(b[0] for b in bands), max(b[1] for b in bands))
+        band = (max(b[0] for b in bands), max(b[1] for b in bands),
+                min(b[2] for b in bands), min(b[3] for b in bands))
         out[key] = (idxs, stacked, band)
     return out
 
