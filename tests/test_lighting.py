@@ -144,3 +144,110 @@ def test_tau_sweep_pallas_matches_xla():
         tau_p = _directional_tau(sig, w, impl="pallas")
         np.testing.assert_allclose(np.asarray(tau_p), np.asarray(tau_x),
                                    atol=1e-5)
+
+
+def test_tau_adjoint_pallas_matches_xla_autodiff():
+    """The custom adjoint sweep (tau_sweep_adj) must equal plain autodiff
+    through the lax.scan twin — per direction, on the full tau field."""
+    sig = smoke_sphere(10)[..., 0]
+    for w in (
+        np.asarray([0.0, 0.0, 1.0]),
+        np.asarray([0.25, -0.15, 0.9]) / np.linalg.norm([0.25, -0.15, 0.9]),
+        np.asarray([0.1, 0.8, -0.5]) / np.linalg.norm([0.1, 0.8, -0.5]),
+    ):
+        def loss(s, impl):
+            tau = _directional_tau(s, w, impl=impl)
+            # weighted sum -> nontrivial per-plane cotangents
+            wts = jnp.sin(jnp.arange(tau.size, dtype=s.dtype)).reshape(
+                tau.shape
+            )
+            return jnp.sum(tau * wts)
+
+        g_x = jax.grad(lambda s: loss(s, "xla"))(sig)
+        g_p = jax.grad(lambda s: loss(s, "pallas"))(sig)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   atol=1e-5)
+
+
+def test_lit_render_differentiable_shadows_gradcheck():
+    """detach=False end-to-end: custom-VJP gradient of a lit render vs
+    central finite differences (f64, XLA+Pallas impls)."""
+    n = 8
+    g = smoke_sphere(n, dtype=jnp.float64)
+    c = (n - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * n), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * n, height=1.5 * n,
+        res_x=8, res_y=8,
+    )
+    lcfg = LightingConfig(mode="lightvolume", n_samples=4, detach=False)
+    rcfg = RenderConfig(early_stop_eps=0.0)
+
+    def loss(grid, impl):
+        rgb, _ = render_view(grid, cam, rcfg, lighting=lcfg, impl=impl)
+        return jnp.sum(rgb**2)
+
+    g_p = jax.grad(lambda x: loss(x, "pallas"))(g)
+    g_x = jax.grad(lambda x: loss(x, "xla"))(g)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-9)
+    # FD probes (density channel, where the shadow gradient lives).
+    rng = np.random.default_rng(0)
+    h = 1e-4
+    for _ in range(6):
+        idx = (int(rng.integers(1, n - 1)), int(rng.integers(1, n - 1)),
+               int(rng.integers(1, n - 1)), 0)
+        fd = (loss(g.at[idx].add(h), "pallas")
+              - loss(g.at[idx].add(-h), "pallas")) / (2 * h)
+        assert abs(float(g_p[idx]) - float(fd)) < 1e-5, (idx, g_p[idx], fd)
+
+
+def test_detached_vs_differentiable_shadow_grads_differ():
+    """detach=False must change density gradients (shadows contribute)."""
+    n = 8
+    g = smoke_sphere(n)
+    c = (n - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * n), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * n, height=1.5 * n,
+        res_x=8, res_y=8,
+    )
+    rcfg = RenderConfig(early_stop_eps=0.0)
+
+    def grad_with(detach):
+        lcfg = LightingConfig(mode="lightvolume", n_samples=4,
+                              detach=detach)
+
+        def loss(grid):
+            rgb, _ = render_view(grid, cam, rcfg, lighting=lcfg)
+            return jnp.mean(rgb**2)
+
+        return jax.grad(loss)(g)
+
+    gd = grad_with(True)
+    gf = grad_with(False)
+    assert float(jnp.max(jnp.abs(gd[..., 0] - gf[..., 0]))) > 1e-7
+    # Emission gradients agree (lighting only scales emission).
+    np.testing.assert_allclose(gd[..., 1:], gf[..., 1:], atol=1e-6)
+
+
+def test_persample_mode_matches_exact_oracle():
+    """mode='persample' builds the exact per-voxel light volume."""
+    from tpuvr.ops.lighting import light_volume_exact
+
+    n = 8
+    g = smoke_sphere(n, dtype=jnp.float64)
+    cfg = LightingConfig(mode="persample", n_samples=4, secondary_dt=0.5)
+    ell = light_volume_exact(g[..., 0], cfg)
+    pts = jnp.asarray([[3.0, 4.0, 2.0], [5.0, 2.0, 6.0]], jnp.float64)
+    ref = light_at_points_ref(g[..., 0], pts, cfg, dt=cfg.secondary_dt)
+    for p, r in zip(pts, ref):
+        ix, iy, iz = int(p[0]), int(p[1]), int(p[2])
+        np.testing.assert_allclose(float(ell[iz, iy, ix]), float(r),
+                                   rtol=1e-10)
+    lit = apply_lighting(g, cfg)
+    assert lit.shape == g.shape
+    # Unknown mode raises.
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown lighting mode"):
+        apply_lighting(g, LightingConfig(mode="bogus"))

@@ -62,11 +62,14 @@ class LightingConfig:
       mode: 'none' — emission-absorption only; 'lightvolume' — precompute a
         per-voxel sky-transmittance volume by N directional sweeps, sampled
         during the primary march (the TPU-native fast path); 'persample' —
-        exact N secondary marches per primary sample (oracle path).
+        exact N secondary marches per voxel (oracle path, slow).
       n_samples: hemisphere sample count (N=16 per BASELINE.json:9).
       sky_intensity: radiance of the sky dome.
       up: world up axis for the hemisphere, as (x, y, z).
       secondary_dt: step size (voxels) for secondary (shadow) marches.
+      detach: True stops gradients at the light volume (detached
+        shadows); False differentiates the lighting pass end-to-end (the
+        Pallas tau sweeps carry a custom adjoint sweep).
     """
 
     mode: str = "none"
@@ -74,6 +77,7 @@ class LightingConfig:
     sky_intensity: float = 1.0
     up: Tuple[float, float, float] = (0.0, 0.0, 1.0)
     secondary_dt: float = 1.0
+    detach: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,6 +61,91 @@ def _tau_sweep_kernel(
     tau_ref[0] = tau
 
 
+def _tau_adj_kernel(
+    g_ref,      # (1, Y, X) cotangent dL/dtau at plane k = step (ascending)
+    ds_ref,     # out (1, Y, X): dL/d(relu(sigma)) at plane k
+    acc_ref,    # scratch (Y, X): accumulated tau cotangent A_{k-1}
+    *,
+    d_y: float,
+    d_x: float,
+    dt: float,
+    precision: str,
+):
+    """Adjoint of the tau recurrence.
+
+    Forward: tau_k = M(tau_{k+1} + dt * s_{k+1}) with s = relu(sigma) and
+    M the fractional (d_y, d_x) shift. The transpose of a unit-slope
+    translation band matrix is the translation by the negated offset, so
+    with A_k = dL/dtau_k accumulated from below:
+
+      h    = M^T A_{k-1}   (shift by (-d_y, -d_x))
+      ds_k = dt * h        (zero at k = 0: nothing is below plane 0)
+      A_k  = g_k + h
+
+    One plane per sequential grid step, ascending — the mirror image of
+    ``_tau_sweep_kernel``'s descending sweep.
+    """
+    step = pl.program_id(0)
+    n_y, n_x = acc_ref.shape
+    dtype = acc_ref.dtype
+
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    mat_a, mat_b = _interp_matrices(
+        jnp.asarray(1.0, dtype), jnp.asarray(-d_y, dtype),
+        jnp.asarray(1.0, dtype), jnp.asarray(-d_x, dtype),
+        n_y, n_y, n_x, n_x, dtype,
+    )
+    tmp = sweep_dot(mat_a, acc_ref[...], precision, dtype)
+    h = sweep_dot(tmp, mat_b, precision, dtype)
+    ds_ref[0] = dt * h
+    acc_ref[...] = g_ref[0] + h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_y", "d_x", "dt", "precision", "interpret"),
+)
+def tau_sweep_adj(
+    g,          # (S, Y, X) cotangent on the tau field, plane-ascending
+    *,
+    d_y: float,
+    d_x: float,
+    dt: float,
+    precision: str = "highest",
+    interpret: bool | None = None,
+):
+    """dL/d(relu(sigma)) for every plane, given dL/dtau (see adjoint
+    kernel docstring). Returns (S, Y, X); the caller applies the relu
+    mask to get dL/dsigma."""
+    if interpret is None:
+        interpret = use_interpret()
+    s, n_y, n_x = g.shape
+    dtype = g.dtype
+    kernel = functools.partial(
+        _tau_adj_kernel,
+        d_y=float(d_y), d_x=float(d_x), dt=float(dt), precision=precision,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, n_y, n_x), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_y, n_x), lambda k: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_struct((s, n_y, n_x), dtype, g),
+        scratch_shapes=[pltpu.VMEM((n_y, n_x), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(g)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("d_y", "d_x", "dt", "precision", "interpret"),

@@ -33,6 +33,7 @@ the tolerance oracle.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -75,6 +76,39 @@ def hemisphere_dirs(n: int, up=(0.0, 0.0, 1.0)) -> np.ndarray:
     return local @ rot.T
 
 
+@functools.lru_cache(maxsize=None)
+def _tau_op(d_y: float, d_x: float, dt: float, precision: str):
+    """Differentiable Pallas tau sweep (custom VJP).
+
+    The adjoint of the shift-scan recurrence is another directional sweep
+    with the transposed (= negated-offset) shift, run plane-ascending —
+    ``tpuvr.kernels.lighting.tau_sweep_adj``. Residual: just sigma (for
+    the relu mask); no per-plane activations are stored (C8 discipline).
+    """
+    from tpuvr.kernels.lighting import tau_sweep, tau_sweep_adj
+
+    @jax.custom_vjp
+    def op(sig_p):
+        return tau_sweep(sig_p, d_y=d_y, d_x=d_x, dt=dt,
+                         precision=precision)
+
+    def fwd(sig_p):
+        return op(sig_p), sig_p
+
+    def bwd(sig_p, g):
+        ds = tau_sweep_adj(g, d_y=d_y, d_x=d_x, dt=dt, precision=precision)
+        dsig = jnp.where(sig_p > 0.0, ds, 0.0)
+        # Match the primal input's vma type (see tpuvr.ops.vjp.op_bwd).
+        vma = lambda x: getattr(jax.typeof(x), "vma", frozenset())
+        extra = tuple(sorted(vma(dsig) - vma(sig_p)))
+        if extra:
+            dsig = jax.lax.psum(dsig, extra)
+        return (dsig,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def _directional_tau(sigma, w, precision="highest", impl=None):
     """Optical depth to the sky along direction ``w`` for every voxel.
 
@@ -104,10 +138,7 @@ def _directional_tau(sigma, w, precision="highest", impl=None):
     dtype = sigma.dtype
 
     if resolve_impl(impl) == "pallas":
-        from tpuvr.kernels.lighting import tau_sweep
-
-        tau_p = tau_sweep(sig_p, d_y=d_y, d_x=d_x, dt=dt,
-                          precision=precision)
+        tau_p = _tau_op(d_y, d_x, dt, precision)(sig_p)
     else:
         mat_a, mat_b = _interp_matrices(
             jnp.asarray(1.0, dtype), jnp.asarray(d_y, dtype),
@@ -150,16 +181,55 @@ def light_volume(sigma, cfg: LightingConfig = LightingConfig(),
     return (cfg.sky_intensity / cfg.n_samples) * total
 
 
+def light_volume_exact(sigma, cfg: LightingConfig = LightingConfig(),
+                       chunk_planes: int = 1):
+    """Exact per-voxel hemisphere light volume (the 'persample' mode).
+
+    Marches ``cfg.n_samples`` true secondary rays from every voxel center
+    through the trilinear field with step ``cfg.secondary_dt`` — no
+    shear-resample approximation. O(voxels * N * steps) trilinear gathers:
+    the quality/oracle path, orders of magnitude slower than
+    :func:`light_volume`'s sweeps; use for ground truth and small grids.
+    Differentiable by plain autodiff (static-bound loops).
+    """
+    z_dim, y_dim, x_dim = sigma.shape
+    ay = jnp.arange(y_dim, dtype=sigma.dtype)
+    axx = jnp.arange(x_dim, dtype=sigma.dtype)
+    yy, xx = jnp.meshgrid(ay, axx, indexing="ij")
+
+    def plane(z):
+        pts = jnp.stack([xx, yy, jnp.full_like(xx, z)], axis=-1)
+        return light_at_points_ref(sigma, pts, cfg, dt=cfg.secondary_dt)
+
+    return jax.lax.map(
+        plane, jnp.arange(z_dim, dtype=sigma.dtype),
+        batch_size=chunk_planes,
+    )
+
+
 def apply_lighting(grid, cfg: LightingConfig = LightingConfig(),
-                   precision: str = "highest", detach: bool = True,
+                   precision: str = "highest", detach: bool | None = None,
                    impl=None):
     """Multiply the sky-light volume into the emission/albedo channels.
 
-    Returns a lit (Z, Y, X, 4) grid; density unchanged. With
-    ``detach=True`` (default) no gradient flows through the light volume
-    (detached shadows — the primary path stays fully differentiable).
+    Returns a lit (Z, Y, X, 4) grid; density unchanged. With detach
+    (default from ``cfg.detach``) no gradient flows through the light
+    volume (detached shadows); ``detach=False`` differentiates shadows
+    too — the tau sweeps carry a custom VJP on the Pallas path
+    (:func:`_tau_op`) and are plain autodiff on the XLA path.
+
+    ``cfg.mode`` selects the light-volume builder: 'lightvolume' (N
+    directional shear sweeps — the TPU fast path) or 'persample' (exact
+    per-voxel secondary marches — the oracle path).
     """
-    ell = light_volume(grid[..., 0], cfg, precision, impl=impl)
+    if detach is None:
+        detach = cfg.detach
+    if cfg.mode == "lightvolume":
+        ell = light_volume(grid[..., 0], cfg, precision, impl=impl)
+    elif cfg.mode == "persample":
+        ell = light_volume_exact(grid[..., 0], cfg)
+    else:
+        raise ValueError(f"unknown lighting mode: {cfg.mode!r}")
     if detach:
         ell = jax.lax.stop_gradient(ell)
     return jnp.concatenate(
