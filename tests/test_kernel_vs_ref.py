@@ -158,3 +158,72 @@ def test_high_precision_tier(grid):
     )
     np.testing.assert_allclose(rgb_h3, rgb_hi, atol=2e-5)
     np.testing.assert_allclose(t_h3, t_hi, atol=2e-5)
+
+
+def test_render_view_fixed_dt_mode(grid):
+    """RenderConfig.mode='fixed_dt' routes to the fixed-step oracle
+    marcher; it must agree with the plane-sweep path to quadrature
+    tolerance (different discretizations of the same integral)."""
+    c = (N - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * N), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * N, height=1.5 * N,
+        res_x=RES, res_y=RES,
+    )
+    rgb_ps, t_ps = render_view(grid, cam, RenderConfig(early_stop_eps=0.0))
+    rgb_fd, t_fd = render_view(
+        grid, cam,
+        RenderConfig(mode="fixed_dt", step_dt=0.05, early_stop_eps=0.0),
+    )
+    np.testing.assert_allclose(rgb_fd, rgb_ps, atol=2e-2)
+    np.testing.assert_allclose(t_fd, t_ps, atol=2e-2)
+
+
+def test_render_view_rejects_unknown_mode(grid):
+    c = (N - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * N), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * N, height=1.5 * N,
+        res_x=RES, res_y=RES,
+    )
+    with pytest.raises(ValueError, match="unknown render mode"):
+        render_view(grid, cam, RenderConfig(mode="bogus"))
+
+
+def test_perspective_eye_inside_volume(grid):
+    """Fly-through (C5): a perspective eye inside the slab renders via
+    the masked half-sweep and must match the f64 plane-sweep oracle."""
+    c = (N - 1) / 2.0
+    # Eye near the center, looking +z toward the far half of the grid.
+    cam = look_at_perspective(
+        (c + 0.5, c - 0.3, c + 0.2), (c, c, N + 5.0),
+        res_x=RES, res_y=RES,
+    )
+    _check(grid, cam)
+    # And looking back the other way (reverse traversal).
+    cam2 = look_at_perspective(
+        (c + 0.5, c - 0.3, c + 0.2), (c, c, -N - 5.0),
+        res_x=RES, res_y=RES,
+    )
+    _check(grid, cam2)
+
+
+def test_eye_inside_gradients_flow(grid):
+    import jax
+
+    c = (N - 1) / 2.0
+    cam = look_at_perspective(
+        (c, c, c + 0.3), (c, c, N + 5.0), res_x=RES, res_y=RES
+    )
+
+    def loss(g):
+        rgb, t = render_view(g, cam, RenderConfig(early_stop_eps=0.0))
+        return jnp.sum(rgb**2)
+
+    gr = jax.grad(loss)(grid)
+    assert bool(jnp.all(jnp.isfinite(gr)))
+    assert float(jnp.linalg.norm(gr)) > 0.0
+    # Behind-the-eye voxels get zero gradient: nothing behind the eye is
+    # visible (eye at plane c+0.3 of the z sweep; z < c means behind).
+    behind = np.asarray(gr)[: int((N - 1) / 2.0), ...]
+    assert float(np.abs(behind).max()) == 0.0

@@ -74,9 +74,12 @@ def cmd_turntable(args):
     from tpuvr.ops.render import prepare_grid, render_prepared
     from tpuvr.ref.camera import dominant_axis
 
+    import os
+
     cfg = _load_config(args.config, args.scale)
     grid, _ = _scene_and_camera(cfg)
     cams = orbit_cameras(args.frames, cfg["grid_n"], res=cfg["res"])
+    os.makedirs(args.out_dir, exist_ok=True)
     axes = tuple(sorted({dominant_axis(c) for c in cams}))
     prep = prepare_grid(grid, axes=axes, lighting=cfg.get("lighting"),
                         precision=cfg["render"].precision, impl=args.impl)
@@ -112,15 +115,30 @@ def cmd_fit(args):
     print(f"rendering {n_views} target views at {cfg['res']}^2 ...")
     targets = render_all_views(grid_true, cams, cfg["render"],
                                impl=args.impl)
-    mesh = None
-    if cfg.get("mesh") == "data" and jax.local_device_count() > 1:
-        mesh = data_mesh()
+    # Mesh selection: MeshConfig (c5-style "mesh_cfg") wins; the legacy
+    # "mesh": "data" key maps to MeshConfig(data=0) (= all local devices).
+    from tpuvr.config import MeshConfig
+
+    mesh_cfg = cfg.get("mesh_cfg")
+    if mesh_cfg is None and cfg.get("mesh") == "data":
+        mesh_cfg = MeshConfig(data=0)
+    mesh, grad_buckets = None, 4
+    if mesh_cfg is not None:
+        grad_buckets = mesh_cfg.grad_buckets
+        n_dev = jax.local_device_count()
+        if mesh_cfg.zshard > 1 and n_dev >= 2 * mesh_cfg.zshard:
+            from tpuvr.dist.sharded_grid import grid_mesh
+
+            n_data = (mesh_cfg.data or n_dev // mesh_cfg.zshard)
+            mesh = grid_mesh(n_data, mesh_cfg.zshard)
+        elif n_dev > 1:
+            mesh = data_mesh(mesh_cfg.data or None)
     print(f"fitting {n}^3 grid from {n_views} views "
-          f"(mesh={mesh.shape if mesh else None}) ...")
+          f"(mesh={dict(mesh.shape) if mesh else None}) ...")
     grid, params, hist = fit_grid(
         targets, cams, grid_true.shape, tcfg, cfg["render"],
         mesh=mesh, impl=args.impl, run_dir=args.run_dir,
-        resume=args.resume,
+        resume=args.resume, grad_buckets=grad_buckets,
     )
     psnr = evaluate_psnr(grid, cams, targets, cfg["render"], impl=args.impl)
     print(json.dumps({

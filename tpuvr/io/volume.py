@@ -123,13 +123,17 @@ def load_raw(path: str, shape, dtype=np.uint8, normalize: bool = True):
     return data
 
 
-def load_tiff_stack(paths, normalize: bool = True) -> np.ndarray:
+def load_tiff_stack(paths, normalize: bool = True,
+                    scale: Optional[float] = None) -> np.ndarray:
     """Load a TIFF slice stack (one image per Z plane) into (Z, Y, X).
 
     The reference-class renderer's third input format besides raw/.vol
     (SURVEY.md §2.1 volume loader). Accepts a list of file paths or a
     glob pattern; slices are sorted lexicographically and must share one
-    (Y, X) shape. Integer samples are scaled to [0, 1] when ``normalize``.
+    (Y, X) shape *and* one sample dtype (a mixed uint8/uint16 stack would
+    otherwise be silently mis-scaled). Integer samples are scaled to
+    [0, 1] when ``normalize``; ``scale`` overrides the divisor (useful for
+    mode 'I' int32 TIFFs whose full-scale is rarely 2^31-1).
     """
     from PIL import Image
 
@@ -141,17 +145,25 @@ def load_tiff_stack(paths, normalize: bool = True) -> np.ndarray:
         raise ValueError("load_tiff_stack: no slice files found")
     planes = []
     for p in paths:
-        img = Image.open(p)
-        if img.mode not in ("F", "I", "I;16", "L"):
-            img = img.convert("F")
-        planes.append(np.asarray(img))
+        with Image.open(p) as img:
+            if img.mode not in ("F", "I", "I;16", "L"):
+                img = img.convert("F")
+            planes.append(np.asarray(img).copy())
     shapes = {pl.shape for pl in planes}
     if len(shapes) != 1:
         raise ValueError(f"inconsistent slice shapes: {sorted(shapes)}")
+    dtypes = {pl.dtype for pl in planes}
+    if len(dtypes) != 1:
+        raise ValueError(
+            f"inconsistent slice dtypes: {sorted(str(d) for d in dtypes)}; "
+            "normalization needs one sample type per stack"
+        )
     vol = np.stack(planes).astype(np.float32)
-    first = np.asarray(planes[0])
-    if normalize and np.issubdtype(first.dtype, np.integer):
-        vol /= float(np.iinfo(first.dtype).max)
+    dtype = planes[0].dtype
+    if scale is not None:
+        vol /= float(scale)
+    elif normalize and np.issubdtype(dtype, np.integer):
+        vol /= float(np.iinfo(dtype).max)
     return vol
 
 

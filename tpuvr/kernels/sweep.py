@@ -426,8 +426,8 @@ def sweep_fwd(
             ),
         ],
         out_shape=[
-            out_struct((3, n_v, n_u), dtype, by, dt_map),
-            out_struct((n_v, n_u), dtype, by, dt_map),
+            out_struct((3, n_v, n_u), dtype, grid_sc, enables, by, dt_map),
+            out_struct((n_v, n_u), dtype, grid_sc, enables, by, dt_map),
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(

@@ -441,7 +441,8 @@ def sweep_bwd(
         out_specs=pl.BlockSpec(
             (block, 4, n_y, n_x), block_index, memory_space=pltpu.VMEM,
         ),
-        out_shape=out_struct((s, 4, n_y, n_x), dtype, by, dt_map, d_color),
+        out_shape=out_struct((s, 4, n_y, n_x), dtype, grid_sc, enables,
+                             by, dt_map, d_color),
         scratch_shapes=(
             [pltpu.VMEM((n_v, n_u), dtype)] * (4 if banded else 2)
             + ([pltpu.VMEM((4, n_x, _TILE), dtype),

@@ -52,6 +52,12 @@ class SweepPlan:
       ortho: True for orthographic cameras.
       cam_params: per-model parameters (ortho: (sx, sy) plane shear per unit
         plane index; perspective: permuted eye (ex, ey, ez)).
+      valid: (first, last) inclusive PLANE-index range the camera can see.
+        Differs from (0, n_planes-1) only for a perspective eye inside the
+        sweep slab (fly-through): planes behind the eye are invalid — the
+        sweep visits them with a mirrored affine map, so they are masked to
+        exactly zero contribution via the enables vector
+        (:func:`plan_valid_mask`).
     """
 
     axis: int
@@ -63,6 +69,7 @@ class SweepPlan:
     separable: bool
     ortho: bool
     cam_params: Tuple[float, ...]
+    valid: Tuple[int, int] = (0, -1)
 
 
 def _permuted_camera(cam, axis: int):
@@ -100,6 +107,7 @@ def plan_sweep(cam, grid_shape, axis: int, oversample: float = 1.0):
     ii = 1.0 - (np.arange(res_y) + 0.5) / res_y * 2.0
     uu, vv = np.meshgrid(jj, ii)
 
+    valid = (0, n_planes - 1)
     if isinstance(cam, OrthoCamera):
         o = (
             pos[None, None, :]
@@ -115,11 +123,30 @@ def plan_sweep(cam, grid_shape, axis: int, oversample: float = 1.0):
         d = f + uu[..., None] * (t * aspect) * r + vv[..., None] * t * u
         o = np.broadcast_to(pos, d.shape)
         ortho = False
-        if 0.0 <= pos[2] <= n_planes - 1:
+        ez = float(pos[2])
+        if abs(ez) < 1e-6:
             raise ValueError(
-                "perspective eye inside the sweep slab is unsupported"
+                "perspective eye on the sweep base plane (permuted z=0) "
+                "degenerates the base-plane ray parameterization; nudge "
+                "the camera"
             )
-        cam_params = (float(pos[0]), float(pos[1]), float(pos[2]))
+        if 0.0 <= ez <= n_planes - 1:
+            # Fly-through: the eye sits inside the slab. The affine
+            # per-plane map stays exact for planes in FRONT of the eye
+            # (scale s_p = 1 - p/ez goes negative: the pencil re-diverges
+            # past the eye); planes behind the eye are invisible and get
+            # masked (see SweepPlan.valid).
+            import math as _math
+
+            if not reverse:  # rays march toward increasing plane index
+                valid = (int(_math.floor(ez)) + 1, n_planes - 1)
+            else:
+                valid = (0, int(_math.ceil(ez)) - 1)
+            if valid[0] > valid[1]:
+                raise ValueError(
+                    "camera looks out of the slab: no visible planes"
+                )
+        cam_params = (float(pos[0]), float(pos[1]), ez)
     else:
         raise TypeError(f"unknown camera type: {type(cam)}")
 
@@ -167,8 +194,24 @@ def plan_sweep(cam, grid_shape, axis: int, oversample: float = 1.0):
         separable=bool(separable),
         ortho=ortho,
         cam_params=cam_params,
+        valid=valid,
     )
     return plan, uv_pixel
+
+
+def plan_valid_mask(plan: SweepPlan, dtype=jnp.float32):
+    """(S,) 0/1 mask of visible planes, in TRAVERSAL order.
+
+    All-ones except for a fly-through camera (eye inside the slab), where
+    planes behind the eye are masked; multiplied into the occupancy
+    ``enables`` so masked slices contribute exactly zero (same lossless
+    gating as empty-space skipping).
+    """
+    p = np.arange(plan.n_planes)
+    mask = ((p >= plan.valid[0]) & (p <= plan.valid[1])).astype(np.float64)
+    if plan.reverse:
+        mask = mask[::-1]
+    return jnp.asarray(mask, dtype=dtype)
 
 
 def slice_coeffs(plan: SweepPlan, dtype=jnp.float32):
@@ -216,8 +259,13 @@ def band_bounds(plan: SweepPlan) -> Tuple[float, float, float, float]:
         return (abs(float(dv)), abs(float(du)),
                 abs(float(dv)), abs(float(du)))
     ez = plan.cam_params[2]
-    p = np.arange(plan.n_planes, dtype=np.float64)
-    sp = np.abs(1.0 - p / ez)
+    # Only visible planes constrain the bands: invalid (behind-the-eye)
+    # planes are gated to exactly zero contribution, and the banded
+    # kernels' window arithmetic is memory-safe for any slope (windows are
+    # clamped; uncovered taps just drop), so their wilder slopes don't
+    # disqualify the banded path for fly-through cameras.
+    p_vis = np.arange(plan.valid[0], plan.valid[1] + 1, dtype=np.float64)
+    sp = np.abs(1.0 - p_vis / ez)
     sp_max, sp_min = float(sp.max()), float(sp.min())
     return (abs(float(dv)) * sp_max, abs(float(du)) * sp_max,
             abs(float(dv)) * sp_min, abs(float(du)) * sp_min)
@@ -268,6 +316,13 @@ def intermediate_rays(plan: SweepPlan, dtype=jnp.float64):
         eye = np.asarray([ex, ey, ez])
         d = base - eye
         d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        # base - eye points TOWARD the base plane; the viewing direction's
+        # z sign is set by plan.reverse. For a fly-through (or behind-slab)
+        # eye the base plane sits behind the camera — flip so the marcher
+        # sees the planes in front (t > 0), matching the masked sweep.
+        want = -1.0 if plan.reverse else 1.0
+        if float(d[0, 0, 2]) * want < 0:
+            d = -d
         o = np.broadcast_to(eye, base.shape)
     return jnp.asarray(o, dtype=dtype), jnp.asarray(d, dtype=dtype)
 
@@ -288,6 +343,9 @@ def view_geometry(cam, grid_shape, dtype=jnp.float32, oversample=1.0):
         'uv':     (H, W, 2) pixel base-plane coords (always present; the
                   final warp is an exact identity when the camera is
                   separable, so one code path serves both),
+        'valid':  (S,) 0/1 plane-visibility mask in traversal order
+                  (all-ones except fly-through cameras), to be multiplied
+                  into the occupancy enables,
       }
     """
     from tpuvr.ref.camera import dominant_axis
@@ -307,6 +365,7 @@ def view_geometry(cam, grid_shape, dtype=jnp.float32, oversample=1.0):
         "dt": ray_dt(plan, dtype),
         "lattice": jnp.asarray(plan.lattice, dtype=dtype),
         "uv": jnp.asarray(uv_pixel, dtype=dtype),
+        "valid": plan_valid_mask(plan, dtype),
     }
     return axis, plan.reverse, geom, band_bounds(plan)
 
@@ -332,6 +391,43 @@ def warp_to_pixels_dynamic(intermediate, lattice, uv_pixel):
         + g[y0 + 1, x0] * (fy * (1 - fx))[..., None]
         + g[y0 + 1, x0 + 1] * (fy * fx)[..., None]
     )
+
+
+def warp_to_pixels_band(inter_band, lattice, uv_pixel, r0):
+    """Pixel warp from a row *band* of the intermediate image.
+
+    Implements ``TrainConfig.rays_per_view`` ray subsampling: the sweep
+    renders only intermediate rows ``[r0, r0 + rows)`` (the row-affine
+    trick — a band is the full sweep with ``by += r0 * ay``), and the loss
+    is restricted to pixels whose bilinear support lies inside the band.
+
+    Args:
+      inter_band: (rows, n_u, C) band of the intermediate image.
+      lattice: (4,) [u0, du, v0, dv] as a traced array.
+      uv_pixel: (H, W, 2) pixel base-plane coords.
+      r0: scalar int32 global row index of the band's first row.
+
+    Returns:
+      (img (H, W, C), mask (H, W) bool) — ``img`` is valid where ``mask``.
+    """
+    rows, n_u = inter_band.shape[0], inter_band.shape[1]
+    u0, du, v0, dv = lattice[0], lattice[1], lattice[2], lattice[3]
+    x = (uv_pixel[..., 0] - u0) / du
+    y = (uv_pixel[..., 1] - v0) / dv
+    yb = y - r0.astype(y.dtype)
+    mask = (yb >= 0.0) & (yb <= rows - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, n_u - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(yb), 0, rows - 2).astype(jnp.int32)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(yb - y0, 0.0, 1.0)
+    g = inter_band
+    img = (
+        g[y0, x0] * ((1 - fy) * (1 - fx))[..., None]
+        + g[y0, x0 + 1] * ((1 - fy) * fx)[..., None]
+        + g[y0 + 1, x0] * (fy * (1 - fx))[..., None]
+        + g[y0 + 1, x0 + 1] * (fy * fx)[..., None]
+    )
+    return img, mask
 
 
 def warp_to_pixels(intermediate, plan: SweepPlan, uv_pixel):

@@ -20,6 +20,7 @@ from tpuvr.config import LightingConfig, RenderConfig
 from tpuvr.ops.geometry import (
     band_bounds,
     plan_sweep,
+    plan_valid_mask,
     ray_dt,
     slice_coeffs,
     warp_to_pixels,
@@ -137,6 +138,9 @@ def render_prepared(
             enables = enables[::-1]
     else:
         enables = jnp.ones((grid_sc.shape[0],), dtype)
+    # Fly-through cameras: gate planes behind the eye to zero (lossless,
+    # same mechanism as empty-space skipping).
+    enables = enables * plan_valid_mask(plan, dtype)
     op = sweep_op(
         plan.reverse,
         cfg.sigma_scale,
@@ -175,9 +179,25 @@ def render_view(
         sweep (C4) — the lit radiance stays one trilinear field, so the
         kernels are unchanged.
 
+    ``cfg.mode='fixed_dt'`` routes to the classic per-pixel fixed-step
+    marcher (the reference-semantics oracle, ``tpuvr.ref.march``) — exact
+    but XLA-scan slow; the production path is 'plane_sweep'.
+
     Returns:
       (rgb (res_y, res_x, 3), transmittance (res_y, res_x)).
     """
+    if cfg.mode == "fixed_dt":
+        from tpuvr.ref.camera import camera_rays
+        from tpuvr.ref.march import render_fixed_dt
+
+        if lighting is not None and lighting.mode != "none":
+            from tpuvr.ops.lighting import apply_lighting
+
+            grid = apply_lighting(grid, lighting, cfg.precision, impl=impl)
+        origins, dirs = camera_rays(cam, dtype=grid.dtype)
+        return render_fixed_dt(grid, origins, dirs, cfg)
+    if cfg.mode != "plane_sweep":
+        raise ValueError(f"unknown render mode: {cfg.mode!r}")
     axis = dominant_axis(cam)
     prep = prepare_grid(
         grid, axes=(axis,), lighting=lighting, precision=cfg.precision,
@@ -212,6 +232,8 @@ def render_with_geom(
 
     grid_sc = grid_to_sweep_layout(grid, axis)
     enables = slice_enables(grid_sc, reverse, cfg.use_occupancy)
+    if "valid" in geom:
+        enables = enables * geom["valid"]
     op = sweep_op(
         reverse, cfg.sigma_scale, cfg.early_stop_eps, resolve_impl(impl),
         cfg.precision, band=band,
@@ -242,10 +264,6 @@ def render_with_geom(
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(), P("data", None)),
             out_specs=(P(None, "data", None), P("data", None)),
-            # vma inference fails on custom_vjp residuals (see
-            # dist/replicated.py); correctness is covered by the
-            # CPU-mesh equality tests.
-            check_vma=False,
         )(grid_sc, ay, by, ax, bx, enables, dt_map)
 
     inter = jnp.transpose(jnp.concatenate([rgb, trans[None]], 0), (1, 2, 0))

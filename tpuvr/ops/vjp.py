@@ -70,6 +70,18 @@ def sweep_op(
             grid_sc, coeffs, enables, dt_map, rgb, trans, d_rgb, d_trans,
             **kw,
         )
+        # Inside shard_map(check_vma=True) the cotangent must carry the
+        # primal input's vma type. When the grid is replicated over mesh
+        # axes the ray-tile cotangents vary over (e.g. 'data' in the DP
+        # paths), the per-device grad contributions must be summed — this
+        # psum IS the C10 "grid grads all-reduced over ICI". With the grid
+        # itself varying over an axis (z-slabs) that axis stays local.
+        def vma(x):
+            return getattr(jax.typeof(x), "vma", frozenset())
+
+        extra = tuple(sorted(vma(dgrid) - vma(grid_sc)))
+        if extra:
+            dgrid = jax.lax.psum(dgrid, extra)
         zero = lambda x: jnp.zeros_like(x)
         return (
             dgrid,
