@@ -46,6 +46,24 @@ def test_fit_recovers_scene(tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_fit_with_ray_subsampling(tmp_path):
+    """TrainConfig.rays_per_view: band-subsampled steps still converge."""
+    grid_true, cams, targets = _scene()
+    cfg = TrainConfig(
+        lr=5e-2, steps=150, views_per_batch=4, ckpt_every=0,
+        ckpt_dir=str(tmp_path), seed=0,
+        rays_per_view=8 * RES,  # half the rows per view per step
+    )
+    rcfg = RenderConfig(early_stop_eps=0.0)
+    grid, params, hist = fit_grid(
+        targets, cams, grid_true.shape, cfg, rcfg, run_dir=str(tmp_path)
+    )
+    first = np.mean(hist["loss"][:5])
+    last = np.mean(hist["loss"][-5:])
+    assert last < first * 0.1, (first, last)
+    assert evaluate_psnr(grid, cams, targets, rcfg) > 26.0
+
+
 def test_checkpoint_resume_continuity(tmp_path):
     grid_true, cams, targets = _scene()
     rcfg = RenderConfig(early_stop_eps=0.0)

@@ -22,7 +22,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpuvr.config import RenderConfig
-from tpuvr.ops.geometry import band_bounds, plan_sweep, ray_dt, slice_coeffs, warp_to_pixels
+from tpuvr.ops.geometry import (
+    band_bounds, plan_sweep, plan_valid_mask, ray_dt, slice_coeffs,
+    warp_to_pixels,
+)
 from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
 from tpuvr.ops.vjp import resolve_impl, sweep_op
 from tpuvr.ref.camera import dominant_axis
@@ -65,6 +68,7 @@ def render_view_dp(
     ay, by, ax, bx = slice_coeffs(plan, dtype)
     dt_map = ray_dt(plan, dtype)
     enables = slice_enables(grid_sc, plan.reverse, cfg.use_occupancy)
+    enables = enables * plan_valid_mask(plan, dtype)
 
     op = sweep_op(
         plan.reverse,
@@ -87,9 +91,6 @@ def render_view_dp(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P("data", None)),
         out_specs=(P(None, "data", None), P("data", None)),
-        # The custom_vjp residuals and the transpose's psum'd grid
-        # cotangent defeat vma inference (as in retile.py/sharded_grid.py).
-        check_vma=False,
     )(grid_sc, ay, by, ax, bx, enables, dt_map)
 
     inter = jnp.transpose(jnp.concatenate([rgb, trans[None]], 0), (1, 2, 0))

@@ -32,6 +32,7 @@ from tpuvr.config import RenderConfig
 from tpuvr.ops.geometry import (
     band_bounds,
     plan_sweep,
+    plan_valid_mask,
     ray_dt,
     slice_coeffs,
     warp_to_pixels,
@@ -114,20 +115,21 @@ def render_view_retiled(
     if plan.reverse:
         grid_sc = grid_sc[::-1]
     ay, by, ax, bx = slice_coeffs(plan, dtype)
+    valid = plan_valid_mask(plan, dtype)
     dt_map = ray_dt(plan, dtype)
     op = sweep_op(
         False, cfg.sigma_scale, 0.0, resolve_impl(impl), cfg.precision,
         band=band_bounds(plan),
     )
 
-    def local(grid_slab, ay, by, ax, bx, dt_tile):
+    def local(grid_slab, ay, by, ax, bx, valid, dt_tile):
         row_off = (jax.lax.axis_index("data") * rows_data).astype(dtype)
         slice_max = jnp.max(grid_slab[:, 0, :, :], axis=(1, 2))
         enables = jax.lax.stop_gradient(
             (slice_max > 0.0).astype(dtype)
             if cfg.use_occupancy
             else jnp.ones_like(slice_max)
-        )
+        ) * valid
         rgb_d, t_d = op(
             grid_slab, (ay, by + row_off * ay, ax, bx), enables, dt_tile
         )
@@ -137,16 +139,14 @@ def render_view_retiled(
         local,
         mesh=mesh,
         in_specs=(
-            P("z"), P("z"), P("z"), P("z"), P("z"), P("data", None),
+            P("z"), P("z"), P("z"), P("z"), P("z"), P("z"),
+            P("data", None),
         ),
         out_specs=(
             P(None, ("data", "z"), None),
             P(("data", "z"), None),
         ),
-        # The transpose's grid cotangent is psum'd over 'data' inside the
-        # shard_map; the vma type system can't infer that replication.
-        check_vma=False,
-    )(grid_sc, ay, by, ax, bx, dt_map)
+    )(grid_sc, ay, by, ax, bx, valid, dt_map)
 
     inter = jnp.transpose(jnp.concatenate([rgb, trans[None]], 0), (1, 2, 0))
     img = warp_to_pixels(inter, plan, uv_pixel)

@@ -30,7 +30,6 @@ import optax
 
 from tpuvr.config import RenderConfig, TrainConfig
 from tpuvr.ops.geometry import view_geometry
-from tpuvr.ops.render import render_with_geom
 from tpuvr.train.ckpt import Checkpointer
 from tpuvr.utils.metrics import MetricsLogger, psnr
 
@@ -78,6 +77,41 @@ def group_views(cams, grid_shape, dtype=jnp.float32):
     return out
 
 
+def band_rows(rays_per_view: Optional[int], n_v: int, n_u: int,
+              n_shards: int = 1) -> Optional[int]:
+    """Static intermediate-row-band height for ray subsampling.
+
+    ``TrainConfig.rays_per_view`` asks for ~that many rays per view per
+    step; the row-affine sweep makes a contiguous row band the natural
+    (and free) subsampling unit — a band is the full sweep with
+    ``by += r0 * ay``. Rounds up to a lane/shard-friendly multiple
+    (128 keeps the banded kernel eligible); None means "render all rows".
+    """
+    if rays_per_view is None:
+        return None
+    import math
+
+    q = 128 if n_v % 128 == 0 else 8
+    q = q * n_shards // math.gcd(q, n_shards)
+    rows = -(-rays_per_view // n_u)
+    rows = min(n_v, -(-rows // q) * q)
+    return None if rows >= n_v else rows
+
+
+def _slice_band(geom_batch, r0s, rows: int):
+    """Row-band view of stacked geometry: by-shift + dt band per view."""
+    coeffs = geom_batch["coeffs"]  # (n_views, 4, S)
+    dtm = geom_batch["dt"]         # (n_views, V, U)
+    by = coeffs[:, 1] + r0s[:, None].astype(dtm.dtype) * coeffs[:, 0]
+    coeffs = coeffs.at[:, 1].set(by)
+    dt_band = jax.vmap(
+        lambda d, r: jax.lax.dynamic_slice(
+            d, (r, jnp.zeros((), r.dtype)), (rows, d.shape[1])
+        )
+    )(dtm, r0s)
+    return dict(geom_batch, coeffs=coeffs, dt=dt_band)
+
+
 def make_train_step(
     key,
     n_views: int,
@@ -88,6 +122,7 @@ def make_train_step(
     mesh,
     grad_buckets: int = 4,
     band: Optional[tuple] = None,
+    rows: Optional[int] = None,
 ):
     """One jitted train step for a view group (axis, reverse static).
 
@@ -100,30 +135,72 @@ def make_train_step(
     ``grad_buckets`` bucketed psums so XLA can overlap early buckets with
     remaining backward work (BASELINE.json:5 "overlapped with the backward
     sweep").
+
+    ``rows`` (from :func:`band_rows`): render only a ``rows``-high
+    intermediate row band per view per step (TrainConfig.rays_per_view);
+    the step then takes per-view band offsets ``r0s``. The loss is the
+    masked mean over pixels whose bilinear support lies inside the band.
     """
     from jax.sharding import PartitionSpec as P
 
     from tpuvr.dist.init import bucketed_psum_grads
-    from tpuvr.ops.geometry import warp_to_pixels_dynamic
+    from tpuvr.ops.geometry import (
+        warp_to_pixels_band,
+        warp_to_pixels_dynamic,
+    )
     from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
     from tpuvr.ops.vjp import resolve_impl, sweep_op
 
     axis, reverse = key
+    op = sweep_op(
+        reverse, render_cfg.sigma_scale, render_cfg.early_stop_eps,
+        resolve_impl(impl), render_cfg.precision, band=band,
+    )
+
+    def view_loss(grid_sc, enables, geom_i, target, r0, extra_row_off=None):
+        """Render one view('s band) and return its masked image MSE."""
+        c = geom_i["coeffs"]
+        ay, by, ax, bx = c[0], c[1], c[2], c[3]
+        if extra_row_off is not None:
+            by = by + extra_row_off * ay
+        if "valid" in geom_i:
+            enables = enables * geom_i["valid"]
+        rgb_t, t_t = op(grid_sc, (ay, by, ax, bx), enables, geom_i["dt"])
+        inter = jnp.transpose(
+            jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0)
+        )
+        if extra_row_off is not None:
+            inter = jax.lax.all_gather(inter, "data", axis=0, tiled=True)
+        if rows is None:
+            img = warp_to_pixels_dynamic(
+                inter, geom_i["lattice"], geom_i["uv"]
+            )[..., :3]
+            return jnp.mean((img - target) ** 2)
+        img, mask = warp_to_pixels_band(
+            inter, geom_i["lattice"], geom_i["uv"], r0
+        )
+        err = jnp.mean((img[..., :3] - target) ** 2, axis=-1)
+        return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     if mesh is None:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, geom_batch, targets):
+        def step(params, opt_state, geom_batch, targets, r0s):
+            if rows is not None:
+                geom_batch = _slice_band(geom_batch, r0s, rows)
+
             def loss_fn(params):
                 grid = params_to_grid(params, density_softplus)
+                grid_sc = grid_to_sweep_layout(grid, axis)
+                enables = slice_enables(
+                    grid_sc, reverse, render_cfg.use_occupancy
+                )
                 total = 0.0
                 for i in range(n_views):
                     geom_i = jax.tree.map(lambda a: a[i], geom_batch)
-                    rgb, _ = render_with_geom(
-                        grid, geom_i, axis, reverse, render_cfg, impl=impl,
-                        band=band,
+                    total = total + view_loss(
+                        grid_sc, enables, geom_i, targets[i], r0s[i]
                     )
-                    total = total + jnp.mean((rgb - targets[i]) ** 2)
                 return total / n_views
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -134,12 +211,8 @@ def make_train_step(
         return step
 
     n_shards = mesh.shape["data"]
-    op = sweep_op(
-        reverse, render_cfg.sigma_scale, render_cfg.early_stop_eps,
-        resolve_impl(impl), render_cfg.precision, band=band,
-    )
 
-    def local(params, geom_batch, targets):
+    def local(params, geom_batch, targets, r0s):
         dtype = params.dtype
         rows_local = geom_batch["dt"].shape[1]
         row_off = (jax.lax.axis_index("data") * rows_local).astype(dtype)
@@ -153,42 +226,181 @@ def make_train_step(
             total = 0.0
             for i in range(n_views):
                 geom_i = jax.tree.map(lambda a: a[i], geom_batch)
-                c = geom_i["coeffs"]
-                ay, by, ax, bx = c[0], c[1], c[2], c[3]
-                rgb_t, t_t = op(
-                    grid_sc, (ay, by + row_off * ay, ax, bx),
-                    enables, geom_i["dt"],
+                total = total + view_loss(
+                    grid_sc, enables, geom_i, targets[i], r0s[i],
+                    extra_row_off=row_off,
                 )
-                inter_t = jnp.transpose(
-                    jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0)
-                )  # (rows_local, U, 4)
-                inter = jax.lax.all_gather(
-                    inter_t, "data", axis=0, tiled=True
-                )  # (V, U, 4)
-                img = warp_to_pixels_dynamic(
-                    inter, geom_i["lattice"], geom_i["uv"]
-                )[..., :3]
-                total = total + jnp.mean((img - targets[i]) ** 2)
             return total / n_views
 
-        loss, grads = jax.value_and_grad(loss_local)(params)
+        # Differentiate w.r.t. a device-varying view of the params so the
+        # grid cotangent stays un-reduced (vma 'data') and the all-reduce
+        # is OURS to schedule: bucketed psums that XLA can overlap with
+        # remaining backward work (C10 overlap).
+        params_v = jax.lax.pcast(params, ("data",), to="varying")
+        loss, grads = jax.value_and_grad(loss_local)(params_v)
         grads = bucketed_psum_grads(grads, "data", grad_buckets)
+        # Per-device losses are equal post-all_gather but typed varying;
+        # the scalar psum/n is the cheapest invariant-typed equivalent.
+        loss = jax.lax.psum(loss, "data") / n_shards
         return loss, grads
 
     geom_specs = {
         "coeffs": P(), "dt": P(None, "data", None),
-        "lattice": P(), "uv": P(),
+        "lattice": P(), "uv": P(), "valid": P(),
     }
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, geom_batch, targets):
+    def step(params, opt_state, geom_batch, targets, r0s):
+        if rows is not None:
+            geom_batch = _slice_band(geom_batch, r0s, rows)
         loss, grads = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), geom_specs, P()),
+            in_specs=(P(), geom_specs, P(), P()),
             out_specs=(P(), P()),
-            check_vma=False,
-        )(params, geom_batch, targets)
+        )(params, geom_batch, targets, r0s)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_train_step_zsharded(
+    key,
+    n_views: int,
+    opt,
+    render_cfg: RenderConfig,
+    density_softplus: bool,
+    impl: Optional[str],
+    mesh,
+    grad_buckets: int = 4,
+    band: Optional[tuple] = None,
+    rows: Optional[int] = None,
+):
+    """Train step with the grid (and optimizer state) slab-sharded over
+    'z' and rays row-sharded over 'data' — C11 completed for *training*:
+    grids too big to replicate are exactly the ones you fit.
+
+    Requirements:
+      - ('data', 'z') mesh; params (Z, Y, X, 4) sharded P('z') on dim 0;
+      - every camera in the group sweeps the grid's z axis (axis == 2), so
+        the stored Z sharding IS the sweep-slab sharding (no per-step grid
+        re-tiling). Cross-axis groups would need an all_to_all of the full
+        grid every step — use the replicated DP trainer for those.
+
+    Mechanics: each ('data' i, 'z' d) device sweeps its slab over its row
+    tile producing a ray segment; segments fold over 'z' with the
+    associative ⊕ (all_gather fold); the loss is computed from the
+    gathered intermediate image. Gradients w.r.t. the slab stay z-local
+    (no collective over 'z') and are bucket-psum'd over 'data' only.
+    Traversal-order bookkeeping: slab d covers traversal steps
+    [d*sz, (d+1)*sz) for forward views and [(n-1-d)*sz, (n-d)*sz) for
+    reverse views (the local sweep itself runs with the group's reverse
+    flag against the ascending-z slab).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from tpuvr.dist.init import bucketed_psum_grads
+    from tpuvr.dist.sharded_grid import _fold_gathered
+    from tpuvr.ops.geometry import (
+        warp_to_pixels_band,
+        warp_to_pixels_dynamic,
+    )
+    from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
+    from tpuvr.ops.vjp import resolve_impl, sweep_op
+
+    axis, reverse = key
+    if axis != 2:
+        raise ValueError(
+            "z-sharded training requires cameras whose dominant sweep "
+            f"axis is the grid z axis (got axis={axis}); render those "
+            "views with the replicated DP trainer instead"
+        )
+    n_z = mesh.shape["z"]
+    n_data = mesh.shape["data"]
+    # Slabs cannot see upstream transmittance: ERT off inside the op.
+    op = sweep_op(
+        reverse, render_cfg.sigma_scale, 0.0,
+        resolve_impl(impl), render_cfg.precision, band=band,
+    )
+
+    def local(params, geom_batch, targets, r0s):
+        dtype = params.dtype
+        rows_local = geom_batch["dt"].shape[1]
+        row_off = (jax.lax.axis_index("data") * rows_local).astype(dtype)
+        zi = jax.lax.axis_index("z")
+
+        def loss_local(params_v):
+            grid = params_to_grid(params_v, density_softplus)
+            grid_sc = grid_to_sweep_layout(grid, axis)  # (sz, 4, Y, X)
+            sz = grid_sc.shape[0]
+            occ = slice_enables(grid_sc, reverse, render_cfg.use_occupancy)
+            slab = (n_z - 1 - zi) if reverse else zi
+            k0 = slab * sz  # this slab's first traversal step
+
+            def sl(a):  # traversal-step slice of a per-view (..., S) array
+                return jax.lax.dynamic_slice_in_dim(a, k0, sz, axis=-1)
+
+            total = 0.0
+            for i in range(n_views):
+                geom_i = jax.tree.map(lambda a: a[i], geom_batch)
+                c = geom_i["coeffs"]
+                ay, by, ax, bx = (sl(c[j]) for j in range(4))
+                by = by + row_off * ay
+                en = occ * sl(geom_i["valid"])
+                rgb_d, t_d = op(
+                    grid_sc, (ay, by, ax, bx), en, geom_i["dt"]
+                )
+                c_segs = jax.lax.all_gather(rgb_d, "z")
+                t_segs = jax.lax.all_gather(t_d, "z")
+                if reverse:  # device order is reversed traversal order
+                    c_segs, t_segs = c_segs[::-1], t_segs[::-1]
+                color, trans = _fold_gathered(c_segs, t_segs)
+                inter_t = jnp.transpose(
+                    jnp.concatenate([color, trans[None]], 0), (1, 2, 0)
+                )
+                inter = jax.lax.all_gather(
+                    inter_t, "data", axis=0, tiled=True
+                )
+                if rows is None:
+                    img = warp_to_pixels_dynamic(
+                        inter, geom_i["lattice"], geom_i["uv"]
+                    )[..., :3]
+                    total = total + jnp.mean((img - targets[i]) ** 2)
+                else:
+                    img, mask = warp_to_pixels_band(
+                        inter, geom_i["lattice"], geom_i["uv"], r0s[i]
+                    )
+                    err = jnp.mean(
+                        (img[..., :3] - targets[i]) ** 2, axis=-1
+                    )
+                    total = total + jnp.sum(err * mask) / jnp.maximum(
+                        jnp.sum(mask), 1.0
+                    )
+            return total / n_views
+
+        params_v = jax.lax.pcast(params, ("data",), to="varying")
+        loss, grads = jax.value_and_grad(loss_local)(params_v)
+        grads = bucketed_psum_grads(grads, "data", grad_buckets)
+        loss = jax.lax.psum(loss, ("data", "z")) / (n_data * n_z)
+        return loss, grads
+
+    geom_specs = {
+        "coeffs": P(), "dt": P(None, "data", None),
+        "lattice": P(), "uv": P(), "valid": P(),
+    }
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, geom_batch, targets, r0s):
+        if rows is not None:
+            geom_batch = _slice_band(geom_batch, r0s, rows)
+        loss, grads = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("z"), geom_specs, P(), P()),
+            out_specs=(P(), P("z")),
+        )(params, geom_batch, targets, r0s)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -206,6 +418,7 @@ def fit_grid(
     impl: Optional[str] = None,
     run_dir: Optional[str] = None,
     resume: bool = False,
+    grad_buckets: int = 4,
 ):
     """Optimize a voxel grid to reproduce ``targets`` from ``cams``.
 
@@ -216,6 +429,8 @@ def fit_grid(
       cfg/render_cfg: training and renderer configs.
       mesh: optional 1-D 'data' Mesh for ray-sharded DP (C10).
       run_dir: metrics/checkpoint directory (defaults to cfg.ckpt_dir).
+      grad_buckets: MeshConfig.grad_buckets — bucketed grid-grad psum
+        count for allreduce/backward overlap (mesh path only).
 
     Returns:
       (grid (rendered-space), params, history dict)
@@ -225,6 +440,24 @@ def fit_grid(
     metrics = MetricsLogger(run_dir)
     opt = optax.adam(cfg.lr)
     params = init_params(grid_shape, cfg.density_softplus)
+    z_sharded = (
+        mesh is not None
+        and "z" in getattr(mesh, "axis_names", ())
+        and mesh.shape["z"] > 1
+    )
+    if z_sharded:
+        # Slab-shard the raw params over 'z' (dim 0 = Z); optimizer
+        # moments inherit the sharding from opt.init, so the whole
+        # training state lives sharded — C11's point: grids too big to
+        # replicate can still be *fitted*.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if grid_shape[0] % mesh.shape["z"]:
+            raise ValueError(
+                f"grid Z={grid_shape[0]} not divisible by z-mesh "
+                f"{mesh.shape['z']}"
+            )
+        params = jax.device_put(params, NamedSharding(mesh, P("z")))
     opt_state = opt.init(params)
     start_step = 0
 
@@ -241,13 +474,18 @@ def fit_grid(
 
     groups = group_views(cams, grid_shape)
     group_keys = sorted(groups.keys())
-    steps_fns = {}
+    n_shards = mesh.shape["data"] if mesh is not None else 1
+    steps_fns, rows_by_key = {}, {}
     for key in group_keys:
-        idxs, _, band = groups[key]
+        idxs, stacked, band = groups[key]
         k_views = min(cfg.views_per_batch, len(idxs))
-        steps_fns[key] = make_train_step(
+        n_v, n_u = stacked["dt"].shape[1], stacked["dt"].shape[2]
+        rows = band_rows(cfg.rays_per_view, n_v, n_u, n_shards)
+        rows_by_key[key] = (rows, n_v)
+        maker = make_train_step_zsharded if z_sharded else make_train_step
+        steps_fns[key] = maker(
             key, k_views, opt, render_cfg, cfg.density_softplus, impl,
-            mesh, band=band,
+            mesh, grad_buckets=grad_buckets, band=band, rows=rows,
         )
 
     rng = np.random.default_rng(cfg.seed + start_step)
@@ -260,8 +498,16 @@ def fit_grid(
         geom_batch = jax.tree.map(lambda a: a[jnp.asarray(pick)],
                                   geom_stacked)
         tgt = targets[jnp.asarray([idxs[p] for p in pick])]
+        rows, n_v = rows_by_key[key]
+        if rows is None:
+            r0s = jnp.zeros((k_views,), jnp.int32)
+        else:
+            r0s = jnp.asarray(
+                rng.integers(0, (n_v - rows) // 8 + 1, size=k_views) * 8,
+                jnp.int32,
+            )
         params, opt_state, loss = steps_fns[key](
-            params, opt_state, geom_batch, tgt
+            params, opt_state, geom_batch, tgt, r0s
         )
         loss_f = float(loss)
         history["loss"].append(loss_f)
