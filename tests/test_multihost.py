@@ -1,9 +1,12 @@
 """Multi-host invariants (SURVEY.md §4) — runs only under a real
-``jax.distributed`` job (N>=2 processes); this dev container exposes a
-single process, so these skip here and exercise on pod slices.
+``jax.distributed`` job (N>=2 processes). Two ways to get one:
 
-Launch on each host of a slice:
-  python -m pytest tests/test_multihost.py  (after tpuvr.dist.init.initialize)
+  - localhost CPU (no pod needed):  python tools/run_multihost_cpu.py 2
+    (2 processes x 8 virtual CPU devices, gloo cross-process collectives)
+  - a real pod slice: run pytest on each host after
+    tpuvr.dist.init.initialize().
+
+Under plain single-process pytest these skip.
 """
 
 import jax
@@ -31,13 +34,14 @@ def test_global_render_consistent_across_hosts():
         (c, c - 3.0 * n, c + 0.8 * n), (c, c, c),
         res_x=jax.device_count() * 8, res_y=jax.device_count() * 8,
     )
+    from jax.experimental.multihost_utils import process_allgather
+
     mesh = data_mesh()
     rgb, t = render_view_dp(grid, cam, mesh, RenderConfig())
     # Every host computes the same global image.
     digest = float(jnp.sum(rgb))
-    digests = jax.experimental.multihost_utils.process_allgather(
-        jnp.asarray([digest])
-    )
+    digests = np.asarray(process_allgather(jnp.asarray([digest]))).ravel()
+    assert digests.shape[0] == jax.process_count()
     np.testing.assert_allclose(digests, digests[0], rtol=1e-6)
 
 

@@ -1,0 +1,141 @@
+"""Per-(slice, 128^2-tile) empty-space skipping (C6 refinement).
+
+The gates are conservative by construction (a tile is skipped only when
+its sampled window's brick-max density is <= 0), so gated and ungated
+sweeps must agree bit-for-bit; the brute-force test checks the gate never
+skips a window that actually contains density.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvr.io.synth import hollow_shell
+from tpuvr.kernels.occupancy import slice_brick_max, tile_occupancy
+from tpuvr.kernels.sweep import _TILE, band_ok, sweep_fwd
+from tpuvr.kernels.sweep_bwd import sweep_bwd
+
+
+def _sparse_slices(s, y, x, seed=0):
+    rng = np.random.default_rng(seed)
+    g = np.where(
+        rng.random((s, 4, y, x)) > 0.97, rng.random((s, 4, y, x)), 0.0
+    )
+    # A few fully-empty slices and fully-empty halves.
+    g[1] = 0.0
+    g[3, :, :, : x // 2] = 0.0
+    return jnp.asarray(g.astype(np.float32))
+
+
+def _coeffs(s, seed=1):
+    rng = np.random.default_rng(seed)
+    ay = jnp.asarray(rng.uniform(0.3, 0.9, s).astype(np.float32))
+    by = jnp.asarray(rng.uniform(-3, 3, s).astype(np.float32))
+    ax = jnp.asarray(rng.uniform(0.3, 0.9, s).astype(np.float32))
+    bx = jnp.asarray(rng.uniform(-3, 3, s).astype(np.float32))
+    return ay, by, ax, bx
+
+
+def test_tile_occupancy_is_conservative():
+    s, y, x = 6, 40, 48
+    gsc = _sparse_slices(s, y, x)
+    bm = slice_brick_max(gsc, 8)
+    coeffs = _coeffs(s)
+    t = 16
+    occ = tile_occupancy(bm, coeffs, 32, 32, 8, (y, x), tile=t)
+    ay, by, ax, bx = (np.asarray(a) for a in coeffs)
+    sig = np.asarray(gsc)[:, 0]
+    for k in range(s):
+        for vt in range(2):
+            f0 = vt * t * ay[k] + by[k]
+            lo = min(f0, f0 + (t - 1) * ay[k])
+            r0 = int(np.clip(np.floor(lo), 0, y - t)) // 8 * 8
+            for ut in range(2):
+                g0 = ut * t * ax[k] + bx[k]
+                lo2 = min(g0, g0 + (t - 1) * ax[k])
+                c0 = int(np.clip(np.floor(lo2), 0, x - t)) // 8 * 8
+                true_max = sig[k, r0:r0 + t, c0:c0 + t].max()
+                if true_max > 0:
+                    assert float(occ[k, vt, ut]) > 0, (k, vt, ut)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gated_banded_sweep_matches_ungated(reverse):
+    """Gating is lossless: bit-identical fwd outputs and grid grads."""
+    s, y, x = 4, 128, 128
+    n_v = n_u = _TILE
+    gsc = _sparse_slices(s, y, x, seed=2)
+    ay, by, ax, bx = _coeffs(s, seed=3)
+    coeffs = (ay, by, ax, bx)
+    enables = jnp.ones((s,), jnp.float32)
+    dt_map = jnp.full((n_v, n_u), 1.1, jnp.float32)
+    band = (0.9, 0.9, 0.3, 0.3)
+    assert band_ok(band, n_v, n_u, y, x)
+    bm = slice_brick_max(gsc, 8)
+    # brickmax is grid-order; tile gates are indexed by traversal step.
+    occ = tile_occupancy(bm[::-1] if reverse else bm, coeffs,
+                         n_v, n_u, 8, (y, x))
+    kw = dict(reverse=reverse, sigma_scale=1.0, early_stop_eps=0.0,
+              precision="highest", band=band)
+    rgb0, t0 = sweep_fwd(gsc, coeffs, enables, dt_map, None, **kw)
+    rgb1, t1 = sweep_fwd(gsc, coeffs, enables, dt_map, occ, **kw)
+    # Gating is mathematically lossless; the tolerance covers 1-ulp
+    # reassociation differences between the gated and ungated compiled
+    # programs (an all-ones gate shows the same 6e-8, so the skip logic
+    # itself contributes exactly zero error).
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0),
+                               atol=5e-7)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=5e-7)
+
+    d_rgb = jnp.ones_like(rgb0) * 0.7
+    d_t = jnp.ones_like(t0) * -0.3
+    g0 = sweep_bwd(gsc, coeffs, enables, dt_map, rgb0, t0, d_rgb, d_t,
+                   None, **kw)
+    g1 = sweep_bwd(gsc, coeffs, enables, dt_map, rgb0, t0, d_rgb, d_t,
+                   occ, **kw)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=5e-7)
+    # A fully-empty slice's gradient is exactly zero under gating.
+    np.testing.assert_array_equal(np.asarray(g1[1]), 0.0)
+
+
+def test_hollow_shell_scene_properties():
+    g = hollow_shell(32)
+    sig = np.asarray(g[..., 0])
+    assert sig.max() > 0
+    # Interior and exterior exactly zero.
+    assert sig[16, 16, 16] == 0.0
+    assert sig[0, 0, 0] == 0.0
+    # Sparse: most voxels empty.
+    assert (sig > 0).mean() < 0.25
+    # Every central slice touches density (slice skipping can't help).
+    occupied_slices = (sig.reshape(32, -1) > 0).any(axis=1)
+    assert occupied_slices[8:24].all()
+
+
+def test_render_prepared_gated_matches_oracle():
+    """The wired path (prepare_grid -> render_prepared with occupancy)
+    must equal the same render with occupancy off, on the shell scene."""
+    from tpuvr.config import RenderConfig
+    from tpuvr.ops.render import prepare_grid, render_prepared
+    from tpuvr.ref.camera import OrthoCamera
+
+    n = 16
+    g = hollow_shell(n)
+    c = (n - 1) / 2.0
+    cam = OrthoCamera(
+        center=(c, c, -3.0 * n), forward=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0), width=1.5 * n, height=1.5 * n,
+        res_x=16, res_y=16,
+    )
+    prep = prepare_grid(g, axes=(2,))
+    rgb_on, t_on = render_prepared(
+        prep, cam,
+        RenderConfig(early_stop_eps=0.0, use_occupancy=True,
+                     tile_skip=True),
+    )
+    rgb_off, t_off = render_prepared(
+        prep, cam, RenderConfig(early_stop_eps=0.0, use_occupancy=False)
+    )
+    np.testing.assert_allclose(rgb_on, rgb_off, atol=1e-6)
+    np.testing.assert_allclose(t_on, t_off, atol=1e-6)

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Gradient-allreduce/backward overlap evidence (C10; VERDICT r1 item 3).
+
+AOT-compiles the DP train step for a DEVICELESS v5e:2x4 TPU topology (no
+multi-chip hardware needed — the real XLA:TPU compiler + scheduler run
+via libtpu) and prints where the grid-grad all-reduces land relative to
+the backward sweep kernels in the final schedule.
+
+    python tools/overlap_evidence.py
+
+Findings (2026-08-18, this container's libtpu; the per-view-psum variant
+was measured from a temporary edit of make_train_step during round 2):
+  - default pipeline: XLA's CRS combiner merges all bucket psums into ONE
+    tuple all-reduce scheduled after ALL backward kernels;
+  - with compiler option xla_jf_crs_combiner_threshold_in_bytes=1024 the
+    per-view variant keeps its bucket psums separate and INTERLEAVES them
+    between the two views' backward kernels;
+  - but they stay synchronous: XLA:TPU's async collective fusion cannot
+    fuse collectives with opaque Pallas custom-calls, so no
+    all-reduce-start/done pair ever brackets backward compute, and the
+    per-view variant pays n_views x the wire bytes. The shipped trainer
+    therefore psums ONCE per step (bucketed); true overlap needs the
+    all-reduce inside the backward kernel (RDMA ring) — future work.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpuvr.config import RenderConfig
+    from tpuvr.io.synth import orbit_cameras
+    from tpuvr.train.fit import group_views, init_params, make_train_step
+
+    topo = topologies.get_topology_desc(
+        platform="tpu", topology_name="v5e:2x4"
+    )
+    mesh = Mesh(np.asarray(topo.devices).reshape(8), ("data",))
+    n, res = 128, 256
+    cams = orbit_cameras(6, n, res=res)
+    groups = group_views(cams, (n, n, n, 4))
+    key = max(groups, key=lambda k: len(groups[k][0]))
+    idxs, stacked, band = groups[key]
+    n_views = min(2, len(idxs))
+    opt = optax.adam(1e-2)
+
+    def absx(x, spec=P()):
+        return jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, spec)
+        )
+
+    params = init_params((n, n, n, 4), True)
+    step = make_train_step(
+        key, n_views, opt, RenderConfig(early_stop_eps=0.0), True,
+        "pallas", mesh, grad_buckets=2, band=band,
+    )
+    args = (
+        absx(params),
+        jax.tree.map(absx, opt.init(params)),
+        jax.tree.map(absx, jax.tree.map(lambda a: a[:n_views], stacked)),
+        absx(jnp.zeros((n_views, res, res, 3), jnp.float32)),
+        absx(jnp.zeros((n_views,), jnp.int32)),
+    )
+    opts = {"xla_jf_crs_combiner_threshold_in_bytes": "1024"}
+    txt = step.lower(*args).compile(compiler_options=opts).as_text()
+    events = []
+    for i, line in enumerate(txt.splitlines()):
+        if "tpu_custom_call" in line and "sweep" in line:
+            m = re.search(r"%(\S+) =", line)
+            events.append((i, "KERNEL  " + (m.group(1) if m else "?")))
+        elif re.search(r"all-reduce(-start|-done)?\(", line):
+            m = re.search(r"%(\S+) =", line)
+            tag = ("AR-START" if "start" in line
+                   else "AR-DONE " if "done" in line else "AR      ")
+            events.append((i, f"{tag}" + (m.group(1) if m else "?")))
+    print(f"schedule (v5e:2x4 AOT, {n_views} views, 2 buckets, "
+          "crs_combiner_threshold=1024):")
+    for i, e in events:
+        print(f"  line {i:5d}  {e}")
+    n_ar = sum("AR" in e for _, e in events)
+    n_async = sum("START" in e for _, e in events)
+    print(f"\nall-reduces: {n_ar} ({n_async} async); "
+          "see module docstring for the interpretation")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,10 +54,13 @@ def initialize(
 def bucketed_psum_grads(grads, axis_name: str, n_buckets: int = 4):
     """All-reduce a gradient grid in slice buckets along dim 0.
 
-    Splitting one big psum into ``n_buckets`` independent collectives lets
-    the XLA scheduler start reducing early buckets while later backward
-    work still computes (the overlap mechanism of SURVEY.md §5). Exactly
-    equivalent to one ``psum``.
+    Exactly equivalent to one ``psum``. Measured on a deviceless v5e:2x4
+    AOT compile (tools/overlap_evidence.py): XLA's CRS combiner re-merges
+    the buckets by default, and even with the combiner threshold lowered
+    the collectives stay synchronous — XLA:TPU's async collective fusion
+    cannot fuse them with opaque Pallas custom-calls — so bucketing buys
+    schedule granularity, not overlap, today. The honest overlap path is
+    an in-kernel RDMA ring (future work); see tpuvr/train/fit.py.
     """
     s = grads.shape[0]
     if n_buckets <= 1 or s < n_buckets:

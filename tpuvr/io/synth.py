@@ -76,3 +76,35 @@ def orbit_cameras(
             )
         )
     return cams
+
+
+def hollow_shell(n: int, r0: float = 0.35, width: float = 0.06,
+                 amp: float | None = None, dtype=jnp.float32):
+    """Hollow spherical shell with EXACTLY zero density off the shell.
+
+    The stress scene for per-(slice, tile) empty-space skipping: every
+    slice through the sphere touches density (slice-level skipping does
+    nothing) yet most of each slice — and the entire interior — is empty.
+    Density is a truncated raised cosine over ``|r - r0*n| < width*n``
+    (smooth inside the band, identically zero outside). Emission ramps
+    like :func:`smoke_sphere`.
+    """
+    import math as _math
+
+    c = (n - 1) / 2.0
+    ax = jnp.arange(n, dtype=dtype)
+    z, y, x = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    r = jnp.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2)
+    d = jnp.abs(r - r0 * n)
+    w = width * n
+    if amp is None:
+        amp = 24.0 / n  # ~ tau 1.5 through one shell wall
+    sigma = jnp.where(
+        d < w, amp * 0.5 * (1.0 + jnp.cos(_math.pi * d / w)), 0.0
+    )
+    ramp = (x + y + z) / (3.0 * max(n - 1, 1))
+    rgb = jnp.stack(
+        [0.9 * ramp + 0.1, 0.5 * jnp.ones_like(ramp), 1.0 - 0.8 * ramp],
+        axis=-1,
+    )
+    return jnp.concatenate([sigma[..., None], rgb], axis=-1).astype(dtype)

@@ -233,6 +233,8 @@ def band_ok(band, n_v, n_u, n_y, n_x) -> bool:
 
 def _sweep_fwd_banded_kernel(
     ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
+    occ_ref,    # SMEM (block, Tv, Tu) this step's tile gates (traversal
+                # order within the block — NOT flipped for reverse)
     slice_ref,  # (B, 4, Y, X) current block of grid slices
     dt_ref,     # (V, U)
     rgb_ref,    # (3, V, U) out, revisited
@@ -245,6 +247,7 @@ def _sweep_fwd_banded_kernel(
     precision: str,
     block: int,
     reverse: bool,
+    gated: bool,
 ):
     """Banded forward sweep: exploits the 2-tap band structure of the
     interpolation matrices. A _TILE-row/col output tile only touches a
@@ -280,7 +283,8 @@ def _sweep_fwd_banded_kernel(
             i_sl = block - 1 - b if reverse else b
             ay, by, ax, bx = ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k]
             en = enable_ref[k]
-            for vt in range(n_v // t):
+
+            def row_body(vt):
                 v0 = vt * t
                 f0 = v0 * ay + by
                 r0, boff = _band_window(
@@ -298,7 +302,8 @@ def _sweep_fwd_banded_kernel(
                         precision, dtype,
                         dims=(((0,), (1,)), ((), ())),
                     )
-                for ut in range(n_u // t):
+
+                def tile_body(ut):
                     u0 = ut * t
                     g0 = u0 * ax + bx
                     c0, coff = _band_window(
@@ -327,6 +332,28 @@ def _sweep_fwd_banded_kernel(
                     rgb_ref[2, vs, us] += w * resample(3)
                     trans_ref[vs, us] = trans * att
 
+                for ut in range(n_u // t):
+                    if gated:
+                        # A gated-off tile contributes exactly nothing
+                        # (zero-density window => att = 1, w = 0), so
+                        # skipping is lossless — the per-(slice, tile)
+                        # empty-space skip slice-level enables can't see.
+                        pl.when(en * occ_ref[b, vt, ut] > 0.0)(
+                            functools.partial(tile_body, ut)
+                        )
+                    else:
+                        tile_body(ut)
+
+            for vt in range(n_v // t):
+                if gated:
+                    # Gate the whole row stage on any live tile in it.
+                    acc = occ_ref[b, vt, 0]
+                    for ut in range(1, n_u // t):
+                        acc = jnp.maximum(acc, occ_ref[b, vt, ut])
+                    pl.when(en * acc > 0.0)(functools.partial(row_body, vt))
+                else:
+                    row_body(vt)
+
         for b in range(block):
             slice_body(b)
         if early_stop_eps > 0.0:
@@ -345,6 +372,7 @@ def sweep_fwd(
     coeffs,       # (ay, by, ax, bx): four (S,) arrays in traversal order
     enables,      # (S,) 0/1 in traversal order
     dt_map,       # (V, U)
+    tile_occ=None,  # optional (S, Tv, Tu) per-(slice, tile) gates
     *,
     reverse: bool = False,
     sigma_scale: float = 1.0,
@@ -360,7 +388,10 @@ def sweep_fwd(
     ``reverse=True`` visits grid slices in descending index order (rays with
     negative sweep-axis direction); coefficient arrays are always indexed by
     traversal step. ``band`` = static (max |ay|, max |ax|) enables the
-    banded kernel when the shapes qualify (see band_ok).
+    banded kernel when the shapes qualify (see band_ok). ``tile_occ``
+    (tpuvr.kernels.occupancy.tile_occupancy, traversal order) additionally
+    gates each 128^2 output tile's window contraction on its per-slice
+    occupancy — banded kernel only.
     """
     if interpret is None:
         interpret = use_interpret()
@@ -378,6 +409,17 @@ def sweep_fwd(
         return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
     banded = band_ok(band, n_v, n_u, n_y, n_x) and gate == "mul"
+    gated = banded and tile_occ is not None
+    if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
+        raise ValueError(
+            f"tile_occ shape {tile_occ.shape} != "
+            f"{(s, n_v // _TILE, n_u // _TILE)}"
+        )
+    # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
+    # kernels index them with program_id.
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [scalar_spec] * 5
+    operands = [ay, by, ax, bx, enables]
     if banded:
         kernel = functools.partial(
             _sweep_fwd_banded_kernel,
@@ -386,11 +428,26 @@ def sweep_fwd(
             precision=precision,
             block=block,
             reverse=reverse,
+            gated=gated,
         )
         scratch = [
             pltpu.VMEM((4, n_x, _TILE), dtype),
             pltpu.SMEM((1,), dtype),
         ]
+        if not gated:
+            tile_occ = jnp.ones(
+                (s, n_v // _TILE, n_u // _TILE), dtype
+            )
+        # Blocked SMEM: only this step's (block, Tv, Tu) gates are
+        # resident — the whole-array form blew the 1 MB SMEM budget at
+        # 512^3 @ 1024^2. occ is traversal-ordered, so its block index
+        # ascends with the step (unlike the grid blocks, which map back
+        # to grid order for reverse sweeps).
+        in_specs.append(pl.BlockSpec(
+            (block, n_v // _TILE, n_u // _TILE),
+            lambda k: (k, 0, 0), memory_space=pltpu.SMEM,
+        ))
+        operands.append(tile_occ)
     else:
         kernel = functools.partial(
             _sweep_fwd_kernel,
@@ -402,21 +459,19 @@ def sweep_fwd(
             gate=gate,
         )
         scratch = [pltpu.SMEM((1,), dtype)]
-    # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
-    # kernels index them with program_id.
-    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs += [
+        pl.BlockSpec(
+            (block, 4, n_y, n_x), block_index, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (n_v, n_u), lambda k: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands += [grid_sc, dt_map]
     rgb, trans = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[
-            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
-            pl.BlockSpec(
-                (block, 4, n_y, n_x), block_index, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (n_v, n_u), lambda k: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (3, n_v, n_u), lambda k: (0, 0, 0), memory_space=pltpu.VMEM
@@ -434,5 +489,5 @@ def sweep_fwd(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ay, by, ax, bx, enables, grid_sc, dt_map)
+    )(*operands)
     return rgb, trans

@@ -148,6 +148,7 @@ def _sweep_bwd_kernel(
 
 def _sweep_bwd_banded_kernel(
     ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
+    occ_ref,     # SMEM (block, Tv, Tu) this step's tile gates
     slice_ref,   # (B, 4, Y, X) block of grid slices (recompute)
     dt_ref,      # (V, U)
     dbias_ref,   # (V, U)
@@ -168,6 +169,7 @@ def _sweep_bwd_banded_kernel(
     block: int,
     reverse: bool,
     w_u: int,
+    gated: bool,
 ):
     """Banded backward sweep.
 
@@ -214,7 +216,13 @@ def _sweep_bwd_banded_kernel(
 
             # Stage 1 (banded): recompute per-ray state tile-by-tile and
             # assemble the dsig / w cotangent planes.
-            for vt in range(n_v // t):
+            def row_live(vt):
+                acc = occ_ref[b, vt, 0]
+                for ut in range(1, n_u // t):
+                    acc = jnp.maximum(acc, occ_ref[b, vt, ut])
+                return en * acc > 0.0
+
+            def row_stage(vt):
                 v0 = vt * t
                 f0 = v0 * ay + by
                 r0, boff = _band_window(f0, f0 + (t - 1) * ay, n_y, dtype)
@@ -225,43 +233,67 @@ def _sweep_bwd_banded_kernel(
                         precision, dtype,
                         dims=(((0,), (1,)), ((), ())),
                     )
-                for ut in range(n_u // t):
-                    u0 = ut * t
-                    g0 = u0 * ax + bx
-                    c0, coff = _band_window(
-                        g0, g0 + (t - 1) * ax, n_x, dtype
-                    )
-                    mat_b = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(jj * ax + coff - ii)
+
+            def tile_stage(vt, ut):
+                v0, u0 = vt * t, ut * t
+                g0 = u0 * ax + bx
+                c0, coff = _band_window(
+                    g0, g0 + (t - 1) * ax, n_x, dtype
+                )
+                mat_b = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(jj * ax + coff - ii)
+                )
+
+                def resample(c):
+                    return sweep_dot(
+                        tmp_ref[c, pl.ds(c0, t), :], mat_b, precision,
+                        dtype, dims=(((0,), (0,)), ((), ())),
                     )
 
-                    def resample(c):
-                        return sweep_dot(
-                            tmp_ref[c, pl.ds(c0, t), :], mat_b, precision,
-                            dtype, dims=(((0,), (0,)), ((), ())),
+                vs = slice(v0, v0 + t)
+                us = slice(u0, u0 + t)
+                sig_raw = resample(0)
+                sigma = jnp.maximum(sig_raw, 0.0) * en
+                dt = dt_ref[vs, us]
+                att = jnp.exp(-(sigma_scale * sigma) * dt)
+                trans = trans_ref[vs, us]
+                w = trans * (1.0 - att)
+                q = q_ref[vs, us]
+                dsig = -dbias_ref[vs, us]
+                for c in range(3):
+                    smp_c = resample(c + 1)
+                    d_c = d_c_ref[c, vs, us]
+                    q = q + (d_c * w) * smp_c
+                    dsig = dsig + d_c * (trans * att) * smp_c
+                q_ref[vs, us] = q
+                dsig = (dsig + q) * (sigma_scale * dt)
+                dsig = jnp.where(sig_raw > 0.0, dsig, 0.0) * en
+                dsig_ref[vs, us] = dsig
+                w_ref[vs, us] = w
+                trans_ref[vs, us] = trans * att
+
+            def zero_tile(vt, ut):
+                # Skipped tile: zero cotangent planes (its window holds no
+                # density => w = 0, dsig = 0), T / q unchanged.
+                vs = slice(vt * t, vt * t + t)
+                us = slice(ut * t, ut * t + t)
+                dsig_ref[vs, us] = jnp.zeros((t, t), dtype)
+                w_ref[vs, us] = jnp.zeros((t, t), dtype)
+
+            for vt in range(n_v // t):
+                if gated:
+                    live = row_live(vt)
+                    pl.when(live)(functools.partial(row_stage, vt))
+                    for ut in range(n_u // t):
+                        tl = en * occ_ref[b, vt, ut] > 0.0
+                        pl.when(tl)(functools.partial(tile_stage, vt, ut))
+                        pl.when(jnp.logical_not(tl))(
+                            functools.partial(zero_tile, vt, ut)
                         )
-
-                    vs = slice(v0, v0 + t)
-                    us = slice(u0, u0 + t)
-                    sig_raw = resample(0)
-                    sigma = jnp.maximum(sig_raw, 0.0) * en
-                    dt = dt_ref[vs, us]
-                    att = jnp.exp(-(sigma_scale * sigma) * dt)
-                    trans = trans_ref[vs, us]
-                    w = trans * (1.0 - att)
-                    q = q_ref[vs, us]
-                    dsig = -dbias_ref[vs, us]
-                    for c in range(3):
-                        smp_c = resample(c + 1)
-                        d_c = d_c_ref[c, vs, us]
-                        q = q + (d_c * w) * smp_c
-                        dsig = dsig + d_c * (trans * att) * smp_c
-                    q_ref[vs, us] = q
-                    dsig = (dsig + q) * (sigma_scale * dt)
-                    dsig = jnp.where(sig_raw > 0.0, dsig, 0.0) * en
-                    dsig_ref[vs, us] = dsig
-                    w_ref[vs, us] = w
-                    trans_ref[vs, us] = trans * att
+                else:
+                    row_stage(vt)
+                    for ut in range(n_u // t):
+                        tile_stage(vt, ut)
 
             # Stage 2 (banded transpose): grad = A^T dS B^T from the
             # assembled planes, written exactly once per slice.
@@ -275,7 +307,8 @@ def _sweep_bwd_banded_kernel(
 
                 # 2a: v-contraction into P through y-windows.
                 p_ref[...] = jnp.zeros_like(p_ref)
-                for vt in range(n_v // t):
+
+                def accum_rows(vt):
                     v0 = vt * t
                     f0 = v0 * ay + by
                     r0, boff = _band_window(
@@ -288,6 +321,16 @@ def _sweep_bwd_banded_kernel(
                         mat_a, d_rows(v0), precision, dtype,
                         dims=(((0,), (0,)), ((), ())),
                     )
+
+                for vt in range(n_v // t):
+                    if gated:
+                        # Skipped rows carry zero dsig/w (stage 1 wrote
+                        # zeros) — their accumulate is a no-op.
+                        pl.when(row_live(vt))(
+                            functools.partial(accum_rows, vt)
+                        )
+                    else:
+                        accum_rows(vt)
                 if w_u >= n_u:
                     # Dense u-side: one (Y,U)@(U,X) via B^T.
                     mat_b = _interp_matrices(
@@ -351,6 +394,7 @@ def sweep_bwd(
     t_final,     # (V, U)
     d_color,     # (3, V, U) cotangents
     d_trans,     # (V, U)
+    tile_occ=None,  # optional (S, Tv, Tu) per-(slice, tile) gates
     *,
     reverse: bool = False,
     sigma_scale: float = 1.0,
@@ -363,7 +407,9 @@ def sweep_bwd(
     """Gradient of the sweep w.r.t. the grid.
 
     Returns (S, 4, Y, X) gradient in the same layout as ``grid_sc``.
-    ``band`` as in sweep_fwd enables the banded recompute.
+    ``band`` as in sweep_fwd enables the banded recompute; ``tile_occ``
+    as in sweep_fwd gates each recompute tile (banded only) — skipped
+    tiles contribute exactly zero gradient, mirroring the forward.
     """
     if interpret is None:
         interpret = use_interpret()
@@ -381,6 +427,12 @@ def sweep_bwd(
         return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
     banded = band_ok(band, n_v, n_u, n_y, n_x)
+    gated = banded and tile_occ is not None
+    if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
+        raise ValueError(
+            f"tile_occ shape {tile_occ.shape} != "
+            f"{(s, n_v // _TILE, n_u // _TILE)}"
+        )
     if banded:
         # Static u-window width for the banded gradient projection: the
         # transpose direction has slope 1/|ax| > 1, so a _TILE-column
@@ -408,6 +460,13 @@ def sweep_bwd(
             block=block,
             reverse=reverse,
             w_u=w_u,
+            gated=gated,
+        )
+        if not gated:
+            tile_occ = jnp.ones((s, n_v // _TILE, n_u // _TILE), dtype)
+        occ_spec = pl.BlockSpec(
+            (block, n_v // _TILE, n_u // _TILE),
+            lambda k: (k, 0, 0), memory_space=pltpu.SMEM,
         )
     else:
         kernel = functools.partial(
@@ -429,11 +488,15 @@ def sweep_bwd(
                            memory_space=pltpu.VMEM)
     cvu_spec = pl.BlockSpec((3, n_v, n_u), lambda k: (0, 0, 0),
                             memory_space=pltpu.VMEM)
+    in_specs = [scalar_spec] * 5
+    operands = [ay, by, ax, bx, enables]
+    if banded:
+        in_specs.append(occ_spec)
+        operands.append(tile_occ)
     grad_yx = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[
-            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+        in_specs=in_specs + [
             pl.BlockSpec((block, 4, n_y, n_x), block_index,
                          memory_space=pltpu.VMEM),
             vu_spec, vu_spec, cvu_spec,
@@ -457,5 +520,5 @@ def sweep_bwd(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ay, by, ax, bx, enables, grid_sc, dt_map, dbias, d_color)
+    )(*operands, grid_sc, dt_map, dbias, d_color)
     return grad_yx

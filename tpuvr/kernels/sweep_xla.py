@@ -49,11 +49,16 @@ def _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype, precision):
                      "precision"),
 )
 def sweep_fwd_xla(
-    grid_sc, coeffs, enables, dt_map,
+    grid_sc, coeffs, enables, dt_map, tile_occ=None,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
     precision="highest",
 ):
-    """Scan-based forward sweep. Returns (rgb (3, V, U), trans (V, U))."""
+    """Scan-based forward sweep. Returns (rgb (3, V, U), trans (V, U)).
+
+    ``tile_occ`` is accepted for signature parity with the Pallas kernel
+    and ignored: tile gating is lossless (gated tiles contribute exactly
+    zero), so the dense scan computes the identical result.
+    """
     dtype = grid_sc.dtype
     n_v, n_u = dt_map.shape
     slices, ay, by, ax, bx, en = _traversal(
@@ -98,12 +103,14 @@ def sweep_fwd_xla(
 )
 def sweep_bwd_xla(
     grid_sc, coeffs, enables, dt_map, c_final, t_final, d_color, d_trans,
+    tile_occ=None,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
     precision="highest",
 ):
     """Scan-based backward sweep (same formulas as the Pallas kernel).
 
-    Returns the (S, 4, Y, X) grid gradient.
+    Returns the (S, 4, Y, X) grid gradient. ``tile_occ`` ignored as in
+    :func:`sweep_fwd_xla` (tile gating is lossless).
     """
     dtype = grid_sc.dtype
     n_v, n_u = dt_map.shape

@@ -71,6 +71,7 @@ def prepare_grid(
     lighting: Optional[LightingConfig] = None,
     precision: str = "highest",
     impl: Optional[str] = None,
+    brick: int = 8,
 ):
     """Per-grid-update preprocessing for the frame loop (C6 + layout).
 
@@ -79,16 +80,20 @@ def prepare_grid(
     SURVEY.md §3); the TPU-native equivalents of that upload step are the
     sweep-layout transpose, the occupancy scan, and the lighting bake —
     all O(grid) HBM passes that don't belong in the per-frame path. This
-    returns a pytree ``{axis: (grid_sc, slice_max)}`` consumed by
-    :func:`render_prepared`; rebuild it whenever the grid (or lighting)
+    returns a pytree ``{axis: (grid_sc, slice_max, brickmax)}`` consumed
+    by :func:`render_prepared`; rebuild it whenever the grid (or lighting)
     changes. Differentiable w.r.t. ``grid`` (transposes + the lighting
-    bake's VJP).
+    bake's VJP; the occupancy fields are detached).
 
     Args:
       axes: which sweep axes to prepare (a camera with dominant axis not
         in ``axes`` cannot be rendered from this prep). Cameras in a known
         orbit usually need only one or two axes.
+      brick: in-plane brick edge for the per-slice occupancy max
+        (RenderConfig.occupancy_brick) feeding banded-tile skipping.
     """
+    from tpuvr.kernels.occupancy import slice_brick_max
+
     if lighting is not None and lighting.mode != "none":
         from tpuvr.ops.lighting import apply_lighting
 
@@ -99,7 +104,8 @@ def prepare_grid(
         slice_max = jax.lax.stop_gradient(
             jnp.max(grid_sc[:, 0, :, :], axis=(1, 2))
         )
-        prep[int(axis)] = (grid_sc, slice_max)
+        prep[int(axis)] = (grid_sc, slice_max, slice_brick_max(grid_sc,
+                                                               brick))
     return prep
 
 
@@ -125,17 +131,28 @@ def render_prepared(
             f"camera sweeps axis {axis}, but prepare_grid was built for "
             f"axes {sorted(prep)}"
         )
-    grid_sc, slice_max = prep[axis]
+    grid_sc, slice_max, brickmax = prep[axis]
     plan, uv_pixel = plan_sweep(
         cam, _grid_shape_from_sweep(axis, grid_sc.shape), axis
     )
     dtype = grid_sc.dtype
     coeffs = slice_coeffs(plan, dtype)
     dt_map = ray_dt(plan, dtype)
+    occ_ctx = None
     if cfg.use_occupancy:
         enables = (slice_max > 0.0).astype(dtype)
         if plan.reverse:
             enables = enables[::-1]
+        if cfg.tile_skip:
+            # Per-(slice, output-tile) gates for the banded kernels:
+            # brick edge recovered from the prep field (must be what the
+            # windows are checked against). Opt-in: see RenderConfig.
+            brick = -(-grid_sc.shape[2] // brickmax.shape[1])
+            occ_ctx = (
+                brickmax[::-1] if plan.reverse else brickmax,
+                brick,
+                (grid_sc.shape[2], grid_sc.shape[3]),
+            )
     else:
         enables = jnp.ones((grid_sc.shape[0],), dtype)
     # Fly-through cameras: gate planes behind the eye to zero (lossless,
@@ -151,7 +168,7 @@ def render_prepared(
     )
     rgb, trans = chunked_sweep(
         op, grid_sc, coeffs, enables, dt_map,
-        max_rows=cfg.max_rows_per_call,
+        max_rows=cfg.max_rows_per_call, occ_ctx=occ_ctx,
     )
     inter = jnp.concatenate([rgb, trans[None]], axis=0)
     inter = jnp.transpose(inter, (1, 2, 0))  # (V, U, 4)

@@ -56,19 +56,22 @@ def sweep_op(
         raise ValueError(f"unknown sweep impl: {impl}")
 
     @jax.custom_vjp
-    def op(grid_sc, coeffs, enables, dt_map):
-        return fwd_fn(grid_sc, coeffs, enables, dt_map, **kw)
+    def op(grid_sc, coeffs, enables, dt_map, tile_occ=None):
+        return fwd_fn(grid_sc, coeffs, enables, dt_map, tile_occ, **kw)
 
-    def op_fwd(grid_sc, coeffs, enables, dt_map):
-        rgb, trans = fwd_fn(grid_sc, coeffs, enables, dt_map, **kw)
-        return (rgb, trans), (grid_sc, coeffs, enables, dt_map, rgb, trans)
+    def op_fwd(grid_sc, coeffs, enables, dt_map, tile_occ):
+        rgb, trans = fwd_fn(grid_sc, coeffs, enables, dt_map, tile_occ,
+                            **kw)
+        return (rgb, trans), (
+            grid_sc, coeffs, enables, dt_map, tile_occ, rgb, trans
+        )
 
     def op_bwd(res, cot):
-        grid_sc, coeffs, enables, dt_map, rgb, trans = res
+        grid_sc, coeffs, enables, dt_map, tile_occ, rgb, trans = res
         d_rgb, d_trans = cot
         dgrid = bwd_fn(
             grid_sc, coeffs, enables, dt_map, rgb, trans, d_rgb, d_trans,
-            **kw,
+            tile_occ, **kw,
         )
         # Inside shard_map(check_vma=True) the cotangent must carry the
         # primal input's vma type. When the grid is replicated over mesh
@@ -88,13 +91,15 @@ def sweep_op(
             tuple(zero(c) for c in coeffs),
             zero(enables),
             zero(dt_map),
+            None if tile_occ is None else zero(tile_occ),
         )
 
     op.defvjp(op_fwd, op_bwd)
     return op
 
 
-def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None):
+def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
+                  occ_ctx=None):
     """Apply a sweep op over row chunks of the intermediate image.
 
     Large frames (C7: up to 1024^2) cannot keep all resident ray planes in
@@ -105,12 +110,28 @@ def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None):
     row-sharded DP path). Per-chunk early termination is at least as
     aggressive as whole-image ERT and keeps the same error bound.
 
+    ``occ_ctx = (brickmax, brick, (Y, X))`` (traversal-order brick max
+    from tpuvr.kernels.occupancy.slice_brick_max) turns on per-(slice,
+    128^2-tile) empty-space skipping in the banded kernels: the gates are
+    computed per chunk from the chunk's coefficients.
+
     Gradients compose through each chunk's custom VJP; chunk grid
     gradients are summed by XLA.
     """
-    n_v = dt_map.shape[0]
+    from tpuvr.kernels.occupancy import tile_occupancy
+
+    n_v, n_u = dt_map.shape
+
+    def occ_for(coeffs_c, rows_c):
+        if occ_ctx is None or rows_c % 128 or n_u % 128:
+            return None
+        brickmax, brick, plane_shape = occ_ctx
+        return tile_occupancy(
+            brickmax, coeffs_c, rows_c, n_u, brick, plane_shape
+        )
+
     if max_rows is None or n_v <= max_rows:
-        return op(grid_sc, coeffs, enables, dt_map)
+        return op(grid_sc, coeffs, enables, dt_map, occ_for(coeffs, n_v))
     n_chunks = -(-n_v // max_rows)
     while n_v % n_chunks:
         n_chunks += 1
@@ -120,8 +141,10 @@ def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None):
     for i in range(n_chunks):
         r0 = i * rows
         by_i = by + jnp.asarray(r0, by.dtype) * ay
+        coeffs_i = (ay, by_i, ax, bx)
         rgb_i, t_i = op(
-            grid_sc, (ay, by_i, ax, bx), enables, dt_map[r0:r0 + rows]
+            grid_sc, coeffs_i, enables, dt_map[r0:r0 + rows],
+            occ_for(coeffs_i, rows),
         )
         rgbs.append(rgb_i)
         ts.append(t_i)

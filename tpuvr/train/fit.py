@@ -232,10 +232,22 @@ def make_train_step(
                 )
             return total / n_views
 
-        # Differentiate w.r.t. a device-varying view of the params so the
-        # grid cotangent stays un-reduced (vma 'data') and the all-reduce
-        # is OURS to schedule: bucketed psums that XLA can overlap with
-        # remaining backward work (C10 overlap).
+        # COMM-MINIMAL grad reduction: grads accumulate across views
+        # locally and psum ONCE per step (n_views x less ICI traffic than
+        # a per-view psum), split into ``grad_buckets`` collectives.
+        # Overlap finding (recorded in BASELINE.md; reproduce with
+        # tools/overlap_evidence.py on a deviceless v5e:2x4 AOT compile):
+        # every grad byte depends on the LAST view's backward, so nothing
+        # can overlap bucket psums here by construction; a per-view-psum
+        # variant DOES interleave its all-reduces between the backward
+        # kernels once the CRS combiner threshold is lowered
+        # (xla_jf_crs_combiner_threshold_in_bytes), but XLA:TPU schedules
+        # them synchronously — its async collective fusion cannot fuse
+        # collectives with opaque Pallas custom-calls — and it pays
+        # n_views x the wire bytes. True overlap needs the all-reduce
+        # INSIDE the backward kernel (slice-bucket RDMA ring over ICI):
+        # future work. Differentiating a pcast-varying view of the params
+        # keeps the reduction ours (op_bwd skips its implicit psum).
         params_v = jax.lax.pcast(params, ("data",), to="varying")
         loss, grads = jax.value_and_grad(loss_local)(params_v)
         grads = bucketed_psum_grads(grads, "data", grad_buckets)
