@@ -172,11 +172,15 @@ def cmd_bench(args):
     rows = scaling_table(grid, cam, cfg["render"], impl=args.impl)
     for row in rows:
         print(json.dumps(row))
+    from tpuvr.bench.roofline import measured_active_fraction
+
+    af = measured_active_fraction(grid, cam, cfg["render"])
     rep = roofline_report(
         rows[0]["ms_per_frame"] / 1e3,
         cfg["grid_n"], cfg["grid_n"], cfg["grid_n"],
         cam.res_y, cam.res_x,
         chip=args.chip, precision=cfg["render"].precision,
+        active_fraction=af,
     )
     print(json.dumps(rep))
 
