@@ -445,6 +445,28 @@ def warp_to_pixels(intermediate, plan: SweepPlan, uv_pixel):
     """
     if uv_pixel is None:
         return intermediate
+    from tpuvr.ops.warp import (
+        lattice_positions,
+        plan_warp_tiling,
+        warp_enabled,
+        warp_tiled,
+    )
+
+    if warp_enabled() and isinstance(uv_pixel, np.ndarray):
+        # TPU-native path: per-tile footprint slices + tent-matrix
+        # contractions — tap-exact vs the gather below, ~12x faster on
+        # TPU (BASELINE.md 2026-08-19 breakdown). Positions are host
+        # numpy (cameras are static), so the tiling is a constant.
+        # Positions computed in the intermediate dtype so the tap
+        # weights round identically to the gather formulation below.
+        y_pos, x_pos = lattice_positions(
+            plan.lattice,
+            uv_pixel.astype(np.dtype(intermediate.dtype)),
+            plan.n_v, plan.n_u,
+        )
+        tiling = plan_warp_tiling(y_pos, x_pos, plan.n_v, plan.n_u)
+        if tiling is not None:
+            return warp_tiled(intermediate, y_pos, x_pos, tiling)
     u0, du, v0, dv = plan.lattice
     uvp = jnp.asarray(uv_pixel, dtype=intermediate.dtype)
     x = (uvp[..., 0] - u0) / du
