@@ -141,3 +141,56 @@ def test_plan_warp_tiling_footprints_cover_taps():
     hi_u = np.minimum(np.floor(xt.max(axis=1)) + 1, n_u - 1)
     assert (t.ubase <= lo_u).all()
     assert (t.ubase + t.f_u - 1 >= hi_u).all()
+
+
+def test_train_step_tiled_warp_matches_gather():
+    """One DP-free train step with the group warp tiling must match the
+    gather-warp step (loss and updated params) to f32 tolerance."""
+    import optax
+
+    from tpuvr.io.synth import orbit_cameras, smoke_sphere
+    from tpuvr.train.fit import (
+        group_views,
+        init_params,
+        make_train_step,
+    )
+
+    n, res, n_views = 16, 32, 4
+    gt = smoke_sphere(n)
+    cams = orbit_cameras(n_views, n, res=res)
+    from tpuvr.ops.render import render_view
+
+    cfg = RenderConfig(early_stop_eps=0.0, precision="highest")
+    targets = jnp.stack(
+        [render_view(gt, c, cfg, impl="xla")[0] for c in cams]
+    )
+
+    def run(mode):
+        os.environ["TPUVR_WARP"] = mode
+        try:
+            groups = group_views(cams, (n, n, n, 4))
+        finally:
+            os.environ.pop("TPUVR_WARP", None)
+        key = sorted(groups)[0]
+        idxs, stacked, band, tiling = groups[key]
+        assert (tiling is None) == (mode == "gather")
+        opt = optax.adam(1e-2)
+        step = make_train_step(
+            key, len(idxs), opt, cfg, True, "xla", None,
+            band=band, warp_tiling=tiling,
+        )
+        params = init_params((n, n, n, 4), True)
+        opt_state = opt.init(params)
+        gb = jax.tree.map(lambda a: a[jnp.arange(len(idxs))], stacked)
+        if mode == "gather":
+            gb = {k: v for k, v in gb.items()
+                  if k not in ("wvb", "wub")}
+        tg = targets[jnp.asarray(idxs)]
+        r0s = jnp.zeros((len(idxs),), jnp.int32)
+        params, opt_state, loss = step(params, opt_state, gb, tg, r0s)
+        return float(loss), params
+
+    l_t, p_t = run("tiled")
+    l_g, p_g = run("gather")
+    np.testing.assert_allclose(l_t, l_g, rtol=1e-6)
+    np.testing.assert_allclose(p_t, p_g, rtol=0, atol=1e-6)

@@ -211,24 +211,41 @@ def _band_window(f_first, f_last, extent, dtype):
     return r0, f_first - r0.astype(dtype)
 
 
-def band_ok(band, n_v, n_u, n_y, n_x) -> bool:
-    """Static predicate: can the banded kernel handle this sweep?
+def band_tiles(band, n_v, n_u, n_y, n_x):
+    """Static output-tile sizes (tile_v, tile_u) for the banded kernels,
+    or None when no banded tiling fits.
 
     ``band`` is (max |ay|, max |ax|) over slices (see
-    tpuvr.ops.geometry.band_bounds). The banded kernel needs output
-    dims tiled by _TILE, grid planes at least one window wide and
-    8-aligned, and the band of a _TILE-row output tile to fit the
-    8-aligned window.
+    tpuvr.ops.geometry.band_bounds). The window width is fixed at _TILE
+    (one 8-aligned sublane slice of the grid plane); the OUTPUT tile edge
+    along each axis shrinks until its band fits the window:
+    slope <= (_TILE - 10) / (tile - 1), i.e. 128-tiles up to ~0.93,
+    64-tiles up to ~1.87, 32-tiles up to ~3.8 — so perspective sweeps
+    (orbit cameras measure ~1.1) stay banded instead of falling back to
+    the dense kernel. Grid planes must be at least one window wide and
+    8-aligned.
     """
     if band is None:
-        return False
-    slope_max = (_TILE - 10) / (_TILE - 1)
-    return (
-        n_v % _TILE == 0 and n_u % _TILE == 0
-        and n_y >= _TILE and n_x >= _TILE
-        and n_y % 8 == 0 and n_x % 8 == 0
-        and band[0] <= slope_max and band[1] <= slope_max
-    )
+        return None
+    if n_y < _TILE or n_x < _TILE or n_y % 8 or n_x % 8:
+        return None
+
+    def pick(slope, n_out):
+        for tile in (_TILE, _TILE // 2, _TILE // 4):
+            if n_out % tile == 0 and slope <= (_TILE - 10) / (tile - 1):
+                return tile
+        return None
+
+    tile_v = pick(band[0], n_v)
+    tile_u = pick(band[1], n_u)
+    if tile_v is None or tile_u is None:
+        return None
+    return tile_v, tile_u
+
+
+def band_ok(band, n_v, n_u, n_y, n_x) -> bool:
+    """Static predicate: can a banded kernel handle this sweep?"""
+    return band_tiles(band, n_v, n_u, n_y, n_x) is not None
 
 
 def _sweep_fwd_banded_kernel(
@@ -248,6 +265,8 @@ def _sweep_fwd_banded_kernel(
     block: int,
     reverse: bool,
     gated: bool,
+    tile_v: int = _TILE,
+    tile_u: int = _TILE,
 ):
     """Banded forward sweep: exploits the 2-tap band structure of the
     interpolation matrices. A _TILE-row/col output tile only touches a
@@ -263,7 +282,7 @@ def _sweep_fwd_banded_kernel(
     n_v, n_u = trans_ref.shape
     n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
     dtype = trans_ref.dtype
-    t = _TILE
+    t = _TILE  # window width (fixed); tile_v/tile_u are the output tiles
 
     @pl.when(step == 0)
     def _init():
@@ -275,8 +294,14 @@ def _sweep_fwd_banded_kernel(
 
     @pl.when(live)
     def _block():
-        ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(dtype)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(dtype)
+        ia = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_v, t), 0).astype(dtype)
+        ja = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_v, t), 1).astype(dtype)
+        jb = jax.lax.broadcasted_iota(
+            jnp.int32, (t, tile_u), 0).astype(dtype)
+        ib = jax.lax.broadcasted_iota(
+            jnp.int32, (t, tile_u), 1).astype(dtype)
 
         def slice_body(b):
             k = step * block + b
@@ -285,14 +310,14 @@ def _sweep_fwd_banded_kernel(
             en = enable_ref[k]
 
             def row_body(vt):
-                v0 = vt * t
+                v0 = vt * tile_v
                 f0 = v0 * ay + by
                 r0, boff = _band_window(
-                    f0, f0 + (t - 1) * ay, n_y, dtype
+                    f0, f0 + (tile_v - 1) * ay, n_y, dtype
                 )
                 # A_t[i, j] = w(taps): rows are output rays v0+i, cols
                 # window rows r0+j of the slice.
-                mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(ii * ay + boff - jj))
+                mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(ia * ay + boff - ja))
                 # Transposed partial (X, Tv): window rows on sublanes now
                 # AND for the next stage (staged through a VMEM scratch —
                 # Mosaic only dynamic-slices refs, not values).
@@ -304,14 +329,14 @@ def _sweep_fwd_banded_kernel(
                     )
 
                 def tile_body(ut):
-                    u0 = ut * t
+                    u0 = ut * tile_u
                     g0 = u0 * ax + bx
                     c0, coff = _band_window(
-                        g0, g0 + (t - 1) * ax, n_x, dtype
+                        g0, g0 + (tile_u - 1) * ax, n_x, dtype
                     )
                     # B_t[j, u]: window cols c0+j, output rays u0+u.
                     mat_b = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(jj * ax + coff - ii)
+                        0.0, 1.0 - jnp.abs(ib * ax + coff - jb)
                     )
 
                     def resample(c):
@@ -321,8 +346,8 @@ def _sweep_fwd_banded_kernel(
                             dtype, dims=(((0,), (0,)), ((), ())),
                         )
 
-                    vs = slice(v0, v0 + t)
-                    us = slice(u0, u0 + t)
+                    vs = slice(v0, v0 + tile_v)
+                    us = slice(u0, u0 + tile_u)
                     sigma = jnp.maximum(resample(0), 0.0) * en
                     att = jnp.exp(-(sigma_scale * sigma) * dt_ref[vs, us])
                     trans = trans_ref[vs, us]
@@ -332,23 +357,25 @@ def _sweep_fwd_banded_kernel(
                     rgb_ref[2, vs, us] += w * resample(3)
                     trans_ref[vs, us] = trans * att
 
-                for ut in range(n_u // t):
+                for ut in range(n_u // tile_u):
                     if gated:
                         # A gated-off tile contributes exactly nothing
                         # (zero-density window => att = 1, w = 0), so
                         # skipping is lossless — the per-(slice, tile)
                         # empty-space skip slice-level enables can't see.
+                        # (gated requires tile_v == tile_u == _TILE; the
+                        # occupancy tile grid is _TILE-based.)
                         pl.when(en * occ_ref[b, vt, ut] > 0.0)(
                             functools.partial(tile_body, ut)
                         )
                     else:
                         tile_body(ut)
 
-            for vt in range(n_v // t):
+            for vt in range(n_v // tile_v):
                 if gated:
                     # Gate the whole row stage on any live tile in it.
                     acc = occ_ref[b, vt, 0]
-                    for ut in range(1, n_u // t):
+                    for ut in range(1, n_u // _TILE):
                         acc = jnp.maximum(acc, occ_ref[b, vt, ut])
                     pl.when(en * acc > 0.0)(functools.partial(row_body, vt))
                 else:
@@ -408,8 +435,10 @@ def sweep_fwd(
     def block_index(step):
         return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
-    banded = band_ok(band, n_v, n_u, n_y, n_x) and gate == "mul"
-    gated = banded and tile_occ is not None
+    tiles = band_tiles(band, n_v, n_u, n_y, n_x)
+    banded = tiles is not None and gate == "mul"
+    # Per-tile occupancy gating is defined on the _TILE grid only.
+    gated = banded and tile_occ is not None and tiles == (_TILE, _TILE)
     if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
         raise ValueError(
             f"tile_occ shape {tile_occ.shape} != "
@@ -429,9 +458,11 @@ def sweep_fwd(
             block=block,
             reverse=reverse,
             gated=gated,
+            tile_v=tiles[0],
+            tile_u=tiles[1],
         )
         scratch = [
-            pltpu.VMEM((4, n_x, _TILE), dtype),
+            pltpu.VMEM((4, n_x, tiles[0]), dtype),
             pltpu.SMEM((1,), dtype),
         ]
         if not gated:

@@ -170,6 +170,8 @@ def _sweep_bwd_banded_kernel(
     reverse: bool,
     w_u: int,
     gated: bool,
+    tile_v: int = _TILE,
+    tile_u: int = _TILE,
 ):
     """Banded backward sweep.
 
@@ -193,7 +195,7 @@ def _sweep_bwd_banded_kernel(
     n_v, n_u = trans_ref.shape
     n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
     dtype = trans_ref.dtype
-    t = _TILE
+    t = _TILE  # window width (fixed); tile_v/tile_u are the output tiles
 
     @pl.when(step == 0)
     def _init():
@@ -205,8 +207,14 @@ def _sweep_bwd_banded_kernel(
 
     @pl.when(live)
     def _block():
-        ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(dtype)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(dtype)
+        ia = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_v, t), 0).astype(dtype)
+        ja = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_v, t), 1).astype(dtype)
+        jb = jax.lax.broadcasted_iota(
+            jnp.int32, (t, tile_u), 0).astype(dtype)
+        ib = jax.lax.broadcasted_iota(
+            jnp.int32, (t, tile_u), 1).astype(dtype)
 
         def slice_body(b):
             k = step * block + b
@@ -223,10 +231,12 @@ def _sweep_bwd_banded_kernel(
                 return en * acc > 0.0
 
             def row_stage(vt):
-                v0 = vt * t
+                v0 = vt * tile_v
                 f0 = v0 * ay + by
-                r0, boff = _band_window(f0, f0 + (t - 1) * ay, n_y, dtype)
-                mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(ii * ay + boff - jj))
+                r0, boff = _band_window(
+                    f0, f0 + (tile_v - 1) * ay, n_y, dtype
+                )
+                mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(ia * ay + boff - ja))
                 for c in range(4):
                     tmp_ref[c] = sweep_dot(
                         slice_ref[i_sl, c, pl.ds(r0, t), :], mat_a,
@@ -235,13 +245,13 @@ def _sweep_bwd_banded_kernel(
                     )
 
             def tile_stage(vt, ut):
-                v0, u0 = vt * t, ut * t
+                v0, u0 = vt * tile_v, ut * tile_u
                 g0 = u0 * ax + bx
                 c0, coff = _band_window(
-                    g0, g0 + (t - 1) * ax, n_x, dtype
+                    g0, g0 + (tile_u - 1) * ax, n_x, dtype
                 )
                 mat_b = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(jj * ax + coff - ii)
+                    0.0, 1.0 - jnp.abs(ib * ax + coff - jb)
                 )
 
                 def resample(c):
@@ -250,8 +260,8 @@ def _sweep_bwd_banded_kernel(
                         dtype, dims=(((0,), (0,)), ((), ())),
                     )
 
-                vs = slice(v0, v0 + t)
-                us = slice(u0, u0 + t)
+                vs = slice(v0, v0 + tile_v)
+                us = slice(u0, u0 + tile_u)
                 sig_raw = resample(0)
                 sigma = jnp.maximum(sig_raw, 0.0) * en
                 dt = dt_ref[vs, us]
@@ -275,16 +285,16 @@ def _sweep_bwd_banded_kernel(
             def zero_tile(vt, ut):
                 # Skipped tile: zero cotangent planes (its window holds no
                 # density => w = 0, dsig = 0), T / q unchanged.
-                vs = slice(vt * t, vt * t + t)
-                us = slice(ut * t, ut * t + t)
-                dsig_ref[vs, us] = jnp.zeros((t, t), dtype)
-                w_ref[vs, us] = jnp.zeros((t, t), dtype)
+                vs = slice(vt * tile_v, vt * tile_v + tile_v)
+                us = slice(ut * tile_u, ut * tile_u + tile_u)
+                dsig_ref[vs, us] = jnp.zeros((tile_v, tile_u), dtype)
+                w_ref[vs, us] = jnp.zeros((tile_v, tile_u), dtype)
 
-            for vt in range(n_v // t):
+            for vt in range(n_v // tile_v):
                 if gated:
                     live = row_live(vt)
                     pl.when(live)(functools.partial(row_stage, vt))
-                    for ut in range(n_u // t):
+                    for ut in range(n_u // tile_u):
                         tl = en * occ_ref[b, vt, ut] > 0.0
                         pl.when(tl)(functools.partial(tile_stage, vt, ut))
                         pl.when(jnp.logical_not(tl))(
@@ -292,7 +302,7 @@ def _sweep_bwd_banded_kernel(
                         )
                 else:
                     row_stage(vt)
-                    for ut in range(n_u // t):
+                    for ut in range(n_u // tile_u):
                         tile_stage(vt, ut)
 
             # Stage 2 (banded transpose): grad = A^T dS B^T from the
@@ -301,7 +311,7 @@ def _sweep_bwd_banded_kernel(
             for g in range(4):
 
                 def d_rows(v0):
-                    s = (slice(v0, v0 + t), slice(None))
+                    s = (slice(v0, v0 + tile_v), slice(None))
                     return (dsig_ref[s] if g == 0
                             else d_c_ref[g - 1, s[0], s[1]] * w_ref[s])
 
@@ -309,20 +319,20 @@ def _sweep_bwd_banded_kernel(
                 p_ref[...] = jnp.zeros_like(p_ref)
 
                 def accum_rows(vt):
-                    v0 = vt * t
+                    v0 = vt * tile_v
                     f0 = v0 * ay + by
                     r0, boff = _band_window(
-                        f0, f0 + (t - 1) * ay, n_y, dtype
+                        f0, f0 + (tile_v - 1) * ay, n_y, dtype
                     )
                     mat_a = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(ii * ay + boff - jj)
+                        0.0, 1.0 - jnp.abs(ia * ay + boff - ja)
                     )
                     p_ref[pl.ds(r0, t), :] += sweep_dot(
                         mat_a, d_rows(v0), precision, dtype,
                         dims=(((0,), (0,)), ((), ())),
                     )
 
-                for vt in range(n_v // t):
+                for vt in range(n_v // tile_v):
                     if gated:
                         # Skipped rows carry zero dsig/w (stage 1 wrote
                         # zeros) — their accumulate is a no-op.

@@ -128,7 +128,50 @@ def plan_warp_tiling(
     return None if best is None else best[1]
 
 
+def plan_group_warp_tiling(
+    pos_views,
+    n_v: int,
+    n_u: int,
+    candidates: Sequence[Tuple[int, int]] = _TILE_CANDIDATES,
+) -> Optional[Tuple[WarpTiling, np.ndarray, np.ndarray]]:
+    """One tiling serving a whole view group (batched training steps).
+
+    ``pos_views`` is a list of (y_pos, x_pos) concrete position maps, one
+    per view. The tile shape and footprint sizes are chosen jointly (max
+    span over views) so a single compiled train step handles every view;
+    the per-view footprint origins are returned stacked as
+    (n_views, n_tiles) int32 arrays — *data*, indexed by the traced view
+    pick at step time.
+    """
+    res_y, res_x = pos_views[0][0].shape
+    override = os.environ.get("TPUVR_WARP_TILE")
+    if override:
+        candidates = (tuple(int(s) for s in override.split("x")),)
+    best = None
+    for ty, tx in candidates:
+        if res_y % ty or res_x % tx:
+            continue
+        vbs, ubs, f_v, f_u = [], [], 0, 0
+        for y_pos, x_pos in pos_views:
+            vb, fv = _span(_tiles(y_pos, ty, tx), n_v)
+            ub, fu = _span(_tiles(x_pos, ty, tx), n_u)
+            vbs.append(vb)
+            ubs.append(ub)
+            f_v, f_u = max(f_v, fv), max(f_u, fu)
+        # Re-clip origins for the group-wide footprint sizes.
+        vbs = [np.clip(v, 0, n_v - f_v) for v in vbs]
+        ubs = [np.clip(u, 0, n_u - f_u) for u in ubs]
+        cost = (max(f_v, 8) * max(f_u, 128)
+                * max(1, (8 * 128) // (ty * tx)))
+        if best is None or cost < best[0]:
+            tiling = WarpTiling(ty, tx, f_v, f_u, vbs[0], ubs[0],
+                                res_y, res_x)
+            best = (cost, tiling, np.stack(vbs), np.stack(ubs))
+    return None if best is None else best[1:]
+
+
 def warp_tiled(intermediate, y_pos, x_pos, tiling: WarpTiling,
+               vbase=None, ubase=None,
                chunk_bytes: int = 64 << 20):
     """Bilinear warp via per-tile footprint slices + tent contractions.
 
@@ -137,6 +180,9 @@ def warp_tiled(intermediate, y_pos, x_pos, tiling: WarpTiling,
       y_pos/x_pos: (res_y, res_x) clipped lattice positions (numpy or
         traced; must lie inside the tiling's footprints).
       tiling: from :func:`plan_warp_tiling` (static).
+      vbase/ubase: optional (n_tiles,) int32 footprint origins overriding
+        the tiling's — may be traced (the batched-training path indexes
+        per-view origins with a traced view pick).
       chunk_bytes: bound on the materialized per-chunk footprint+partial
         buffers; tiles are processed in lax.map chunks of this size.
 
@@ -156,8 +202,8 @@ def warp_tiled(intermediate, y_pos, x_pos, tiling: WarpTiling,
     x_t = jnp.asarray(_tiles(np.asarray(x_pos), ty, tx)
                       if isinstance(x_pos, np.ndarray) else
                       _tiles_jnp(x_pos, ty, tx), dtype)
-    vb = jnp.asarray(tiling.vbase, jnp.int32)
-    ub = jnp.asarray(tiling.ubase, jnp.int32)
+    vb = jnp.asarray(tiling.vbase if vbase is None else vbase, jnp.int32)
+    ub = jnp.asarray(tiling.ubase if ubase is None else ubase, jnp.int32)
 
     hp = jax.lax.Precision.HIGHEST
 

@@ -57,10 +57,20 @@ def init_params(grid_shape, density_softplus: bool, dtype=jnp.float32):
 def group_views(cams, grid_shape, dtype=jnp.float32):
     """Group cameras by static sweep signature; stack their geometry.
 
-    Returns {(axis, reverse): (view_indices, stacked_geom, band)} with
-    ``band`` the group-wide static (max |ay|, max |ax|) bound for the
-    banded kernel.
+    Returns {(axis, reverse): (view_indices, stacked_geom, band, warp)}
+    with ``band`` the group-wide static (max |ay|, max |ax|) bound for
+    the banded kernel and ``warp`` the group's static
+    :class:`tpuvr.ops.warp.WarpTiling` (or None: gather fallback) — the
+    per-view footprint origins are stacked into the geometry dict as
+    ``wvb``/``wub`` so the traced view pick indexes them like any other
+    per-view data.
     """
+    from tpuvr.ops.warp import (
+        lattice_positions,
+        plan_group_warp_tiling,
+        warp_enabled,
+    )
+
     groups: Dict[Tuple[int, bool], Tuple[List[int], List, List]] = {}
     for i, cam in enumerate(cams):
         axis, reverse, geom, band = view_geometry(cam, grid_shape, dtype)
@@ -70,10 +80,28 @@ def group_views(cams, grid_shape, dtype=jnp.float32):
         groups[(axis, reverse)][2].append(band)
     out = {}
     for key, (idxs, geoms, bands) in groups.items():
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *geoms)
         band = (max(b[0] for b in bands), max(b[1] for b in bands),
                 min(b[2] for b in bands), min(b[3] for b in bands))
-        out[key] = (idxs, stacked, band)
+        tiling = None
+        if warp_enabled():
+            pos_views = []
+            for g in geoms:
+                n_vu = g["dt"].shape  # (V, U)
+                y_pos, x_pos = lattice_positions(
+                    tuple(np.asarray(g["lattice"])),
+                    np.asarray(g["uv"]), n_vu[0], n_vu[1],
+                )
+                pos_views.append((y_pos, x_pos))
+            planned = plan_group_warp_tiling(
+                pos_views, n_vu[0], n_vu[1]
+            )
+            if planned is not None:
+                tiling, wvb, wub = planned
+                for g, vb, ub in zip(geoms, wvb, wub):
+                    g["wvb"] = jnp.asarray(vb)
+                    g["wub"] = jnp.asarray(ub)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *geoms)
+        out[key] = (idxs, stacked, band, tiling)
     return out
 
 
@@ -123,6 +151,7 @@ def make_train_step(
     grad_buckets: int = 4,
     band: Optional[tuple] = None,
     rows: Optional[int] = None,
+    warp_tiling=None,
 ):
     """One jitted train step for a view group (axis, reverse static).
 
@@ -173,7 +202,9 @@ def make_train_step(
             inter = jax.lax.all_gather(inter, "data", axis=0, tiled=True)
         if rows is None:
             img = warp_to_pixels_dynamic(
-                inter, geom_i["lattice"], geom_i["uv"]
+                inter, geom_i["lattice"], geom_i["uv"],
+                tiling=warp_tiling, vbase=geom_i.get("wvb"),
+                ubase=geom_i.get("wub"),
             )[..., :3]
             return jnp.mean((img - target) ** 2)
         img, mask = warp_to_pixels_band(
@@ -259,6 +290,7 @@ def make_train_step(
     geom_specs = {
         "coeffs": P(), "dt": P(None, "data", None),
         "lattice": P(), "uv": P(), "valid": P(),
+        "wvb": P(), "wub": P(),
     }
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -289,6 +321,7 @@ def make_train_step_zsharded(
     grad_buckets: int = 4,
     band: Optional[tuple] = None,
     rows: Optional[int] = None,
+    warp_tiling=None,
 ):
     """Train step with the grid (and optimizer state) slab-sharded over
     'z' and rays row-sharded over 'data' — C11 completed for *training*:
@@ -377,7 +410,9 @@ def make_train_step_zsharded(
                 )
                 if rows is None:
                     img = warp_to_pixels_dynamic(
-                        inter, geom_i["lattice"], geom_i["uv"]
+                        inter, geom_i["lattice"], geom_i["uv"],
+                        tiling=warp_tiling, vbase=geom_i.get("wvb"),
+                        ubase=geom_i.get("wub"),
                     )[..., :3]
                     total = total + jnp.mean((img - targets[i]) ** 2)
                 else:
@@ -401,6 +436,7 @@ def make_train_step_zsharded(
     geom_specs = {
         "coeffs": P(), "dt": P(None, "data", None),
         "lattice": P(), "uv": P(), "valid": P(),
+        "wvb": P(), "wub": P(),
     }
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -489,7 +525,7 @@ def fit_grid(
     n_shards = mesh.shape["data"] if mesh is not None else 1
     steps_fns, rows_by_key = {}, {}
     for key in group_keys:
-        idxs, stacked, band = groups[key]
+        idxs, stacked, band, warp_tiling = groups[key]
         k_views = min(cfg.views_per_batch, len(idxs))
         n_v, n_u = stacked["dt"].shape[1], stacked["dt"].shape[2]
         rows = band_rows(cfg.rays_per_view, n_v, n_u, n_shards)
@@ -498,13 +534,14 @@ def fit_grid(
         steps_fns[key] = maker(
             key, k_views, opt, render_cfg, cfg.density_softplus, impl,
             mesh, grad_buckets=grad_buckets, band=band, rows=rows,
+            warp_tiling=warp_tiling,
         )
 
     rng = np.random.default_rng(cfg.seed + start_step)
     history = {"loss": []}
     for step_no in range(start_step, cfg.steps):
         key = group_keys[step_no % len(group_keys)]
-        idxs, geom_stacked, _ = groups[key]
+        idxs, geom_stacked = groups[key][0], groups[key][1]
         k_views = min(cfg.views_per_batch, len(idxs))
         pick = rng.choice(len(idxs), size=k_views, replace=False)
         geom_batch = jax.tree.map(lambda a: a[jnp.asarray(pick)],
