@@ -152,6 +152,62 @@ def test_banded_bwd_matches_dense():
                                    err_msg=f"{ay0},{ax0},{reverse},{eps}")
 
 
+def test_banded_steep_slopes_match_dense():
+    """Adaptive sub-128 output tiles (slopes > ~0.93 — the perspective
+    orbit regime) must match the dense kernels in BOTH directions.
+
+    Regression test for the silent-clamp bug: sweep_bwd used to leave
+    the banded kernel at the 128-tile default regardless of slope, so
+    a slope-1.1..3.5 band's taps fell outside the 128-wide window and
+    were zeroed — corrupting recomputed values and grid gradients."""
+    import numpy as np
+
+    from tpuvr.kernels.sweep import band_tiles, sweep_fwd
+    from tpuvr.kernels.sweep_bwd import sweep_bwd
+
+    rng = np.random.default_rng(17)
+    s, n_y, n_x = 4, 160, 160
+    n_v = n_u = 128
+    grid_sc = jnp.asarray(
+        rng.random((s, 4, n_y, n_x), dtype=np.float32) * 0.5
+    )
+    d_color = jnp.asarray(rng.random((3, n_v, n_u), dtype=np.float32))
+    d_trans = jnp.asarray(rng.random((n_v, n_u), dtype=np.float32))
+    for ay0, ax0, want_tiles in [
+        (1.1, 1.1, (64, 64)),      # just past the 128-tile limit
+        (-3.5, 0.5, (32, 128)),    # near the 32-tile ceiling, mixed
+        (0.6, -2.5, (128, 32)),
+    ]:
+        ay = jnp.full((s,), ay0, jnp.float32)
+        ax = jnp.full((s,), ax0, jnp.float32)
+        # Center the (wide) bands so a good share of taps are in-grid.
+        by = jnp.linspace(
+            n_y / 2.0 - ay0 * n_v / 2.0 - 8.0,
+            n_y / 2.0 - ay0 * n_v / 2.0 + 8.0, s, dtype=jnp.float32)
+        bx = jnp.linspace(
+            n_x / 2.0 - ax0 * n_u / 2.0 + 6.0,
+            n_x / 2.0 - ax0 * n_u / 2.0 - 6.0, s, dtype=jnp.float32)
+        enables = jnp.ones((s,), jnp.float32)
+        dt = jnp.full((n_v, n_u), 0.8, jnp.float32)
+        band = (abs(ay0), abs(ax0), abs(ay0), abs(ax0))
+        assert band_tiles(band, n_v, n_u, n_y, n_x) == want_tiles
+        kw = dict(reverse=ay0 < 0, sigma_scale=1.3, early_stop_eps=0.0,
+                  precision="highest")
+        rgb_b, t_b = sweep_fwd(grid_sc, (ay, by, ax, bx), enables, dt,
+                               band=band, **kw)
+        rgb_d, t_d = sweep_fwd(grid_sc, (ay, by, ax, bx), enables, dt,
+                               **kw)
+        np.testing.assert_allclose(rgb_b, rgb_d, atol=1e-5,
+                                   err_msg=f"fwd {ay0},{ax0}")
+        np.testing.assert_allclose(t_b, t_d, atol=1e-5)
+        args = (grid_sc, (ay, by, ax, bx), enables, dt, rgb_d, t_d,
+                d_color, d_trans)
+        g_b = sweep_bwd(*args, band=band, **kw)
+        g_d = sweep_bwd(*args, **kw)
+        np.testing.assert_allclose(g_b, g_d, atol=2e-5,
+                                   err_msg=f"bwd {ay0},{ax0}")
+
+
 def test_banded_bwd_windowed_uside():
     """A shape where the banded gradient projection's u-window is
     genuinely narrower than U (w_u < n_u), vs the dense backward."""

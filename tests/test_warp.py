@@ -194,3 +194,62 @@ def test_train_step_tiled_warp_matches_gather():
     l_g, p_g = run("gather")
     np.testing.assert_allclose(l_t, l_g, rtol=1e-6)
     np.testing.assert_allclose(p_t, p_g, rtol=0, atol=1e-6)
+
+
+def test_mesh_train_step_gather_warp():
+    """The DP (mesh) train step must work when the stacked geometry has
+    NO 'wvb'/'wub' keys (TPUVR_WARP=gather or an undividable resolution):
+    geom shard_map specs are derived from the actual keys, not a fixed
+    dict. Regression test for the pytree-structure mismatch."""
+    import optax
+
+    from tpuvr.dist.replicated import data_mesh
+    from tpuvr.io.synth import orbit_cameras, smoke_sphere
+    from tpuvr.ops.render import render_view
+    from tpuvr.train.fit import (
+        group_views,
+        init_params,
+        make_train_step,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    n, res, n_views = 16, 32, 4
+    gt = smoke_sphere(n)
+    cams = orbit_cameras(n_views, n, res=res)
+    cfg = RenderConfig(early_stop_eps=0.0, precision="highest")
+    targets = jnp.stack(
+        [render_view(gt, c, cfg, impl="xla")[0] for c in cams]
+    )
+    os.environ["TPUVR_WARP"] = "gather"
+    try:
+        groups = group_views(cams, (n, n, n, 4))
+    finally:
+        os.environ.pop("TPUVR_WARP", None)
+    key = sorted(groups)[0]
+    idxs, stacked, band, tiling = groups[key]
+    assert tiling is None and "wvb" not in stacked
+
+    def run(mesh):
+        # SGD, not Adam: Adam's m/sqrt(v) normalization turns f32
+        # summation-order noise on near-zero grads into O(lr) update
+        # flips; SGD keeps param diffs proportional to grad diffs.
+        opt = optax.sgd(1e-2)
+        step = make_train_step(
+            key, len(idxs), opt, cfg, True, "xla", mesh,
+            band=band, warp_tiling=tiling,
+        )
+        params = init_params((n, n, n, 4), True)
+        opt_state = opt.init(params)
+        gb = jax.tree.map(lambda a: a[jnp.arange(len(idxs))], stacked)
+        tg = targets[jnp.asarray(idxs)]
+        r0s = jnp.zeros((len(idxs),), jnp.int32)
+        params, opt_state, loss = step(params, opt_state, gb, tg, r0s)
+        return float(loss), params
+
+    l_m, p_m = run(data_mesh(8))
+    l_1, p_1 = run(None)
+    np.testing.assert_allclose(l_m, l_1, rtol=1e-5)
+    np.testing.assert_allclose(p_m, p_1, rtol=0, atol=1e-5)

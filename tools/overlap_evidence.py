@@ -53,7 +53,7 @@ def main() -> int:
     cams = orbit_cameras(6, n, res=res)
     groups = group_views(cams, (n, n, n, 4))
     key = max(groups, key=lambda k: len(groups[k][0]))
-    idxs, stacked, band = groups[key]
+    idxs, stacked, band, warp_tiling = groups[key]
     n_views = min(2, len(idxs))
     opt = optax.adam(1e-2)
 
@@ -66,6 +66,7 @@ def main() -> int:
     step = make_train_step(
         key, n_views, opt, RenderConfig(early_stop_eps=0.0), True,
         "pallas", mesh, grad_buckets=2, band=band,
+        warp_tiling=warp_tiling,
     )
     args = (
         absx(params),

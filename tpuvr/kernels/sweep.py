@@ -418,7 +418,12 @@ def sweep_fwd(
     banded kernel when the shapes qualify (see band_ok). ``tile_occ``
     (tpuvr.kernels.occupancy.tile_occupancy, traversal order) additionally
     gates each 128^2 output tile's window contraction on its per-slice
-    occupancy — banded kernel only.
+    occupancy — banded kernel only, AND only when band_tiles selects the
+    full 128^2 output tile (slope <= ~0.93): the occupancy tile grid is
+    128-based, so steeper sweeps that shrink to 64/32 output tiles run
+    ungated (slice-level enables + ERT still apply). Callers passing
+    tile_occ for sparse perspective scenes should expect the per-tile skip
+    to engage only for near-axis views; see band_tiles.
     """
     if interpret is None:
         interpret = use_interpret()
@@ -466,16 +471,18 @@ def sweep_fwd(
             pltpu.SMEM((1,), dtype),
         ]
         if not gated:
-            tile_occ = jnp.ones(
-                (s, n_v // _TILE, n_u // _TILE), dtype
-            )
+            # 1x1 placeholder, never read by the kernel (gated=False):
+            # the real (s, n_v//_TILE, n_u//_TILE) shape is ZERO-sized
+            # when a DP row shard is narrower than a 128-tile, and
+            # Mosaic rejects zero-size operands.
+            tile_occ = jnp.ones((s, 1, 1), dtype)
         # Blocked SMEM: only this step's (block, Tv, Tu) gates are
         # resident — the whole-array form blew the 1 MB SMEM budget at
         # 512^3 @ 1024^2. occ is traversal-ordered, so its block index
         # ascends with the step (unlike the grid blocks, which map back
         # to grid order for reverse sweeps).
         in_specs.append(pl.BlockSpec(
-            (block, n_v // _TILE, n_u // _TILE),
+            (block,) + tile_occ.shape[1:],
             lambda k: (k, 0, 0), memory_space=pltpu.SMEM,
         ))
         operands.append(tile_occ)

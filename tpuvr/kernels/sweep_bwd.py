@@ -47,7 +47,7 @@ from tpuvr.kernels.sweep import (
     _TILE,
     _band_window,
     _interp_matrices,
-    band_ok,
+    band_tiles,
     sweep_dot,
 )
 
@@ -436,8 +436,15 @@ def sweep_bwd(
     def block_index(step):
         return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
-    banded = band_ok(band, n_v, n_u, n_y, n_x)
-    gated = banded and tile_occ is not None
+    # Adaptive output tiles, EXACTLY as the forward dispatch picks them
+    # (sweep_fwd:438): steep sweeps (slope > ~0.93) must shrink the
+    # output tile so its tap band fits the fixed _TILE window — leaving
+    # the kernel at the 128 default would silently clamp out-of-window
+    # taps to zero weight and corrupt recomputed values AND gradients.
+    tiles = band_tiles(band, n_v, n_u, n_y, n_x)
+    banded = tiles is not None
+    # Per-tile occupancy gating is defined on the _TILE grid only.
+    gated = banded and tile_occ is not None and tiles == (_TILE, _TILE)
     if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
         raise ValueError(
             f"tile_occ shape {tile_occ.shape} != "
@@ -471,11 +478,15 @@ def sweep_bwd(
             reverse=reverse,
             w_u=w_u,
             gated=gated,
+            tile_v=tiles[0],
+            tile_u=tiles[1],
         )
         if not gated:
-            tile_occ = jnp.ones((s, n_v // _TILE, n_u // _TILE), dtype)
+            # 1x1 placeholder (never read): the real shape is zero-sized
+            # for sub-128-row DP shards and Mosaic rejects that.
+            tile_occ = jnp.ones((s, 1, 1), dtype)
         occ_spec = pl.BlockSpec(
-            (block, n_v // _TILE, n_u // _TILE),
+            (block,) + tile_occ.shape[1:],
             lambda k: (k, 0, 0), memory_space=pltpu.SMEM,
         )
     else:
@@ -518,7 +529,7 @@ def sweep_bwd(
                              by, dt_map, d_color),
         scratch_shapes=(
             [pltpu.VMEM((n_v, n_u), dtype)] * (4 if banded else 2)
-            + ([pltpu.VMEM((4, n_x, _TILE), dtype),
+            + ([pltpu.VMEM((4, n_x, tiles[0]), dtype),
                 pltpu.VMEM((n_y, n_u), dtype),
                 pltpu.VMEM((n_u, n_y), dtype)] if banded else [])
             + [pltpu.SMEM((1,), dtype)]

@@ -34,12 +34,17 @@ def sweep_op(
     impl: str,
     precision: str = "highest",
     band: tuple | None = None,
+    interpret: bool | None = None,
 ):
     """Differentiable sweep: (grid_sc, coeffs, enables, dt_map) -> (rgb, T).
 
     ``band`` = static (max |ay|, max |ax|) from
     tpuvr.ops.geometry.band_bounds; when the shapes qualify, the Pallas
     forward uses the banded kernel (half the MXU work at 256^3 @ 512^2).
+    ``interpret`` forces Pallas interpret mode (None = auto by backend) —
+    lets a TPU-backend process run the shipped kernels on a CPU device
+    (bench.py grad_accuracy measures the Pallas impl against the f64
+    oracle that way).
     """
     kw = dict(
         reverse=reverse,
@@ -48,8 +53,10 @@ def sweep_op(
         precision=precision,
     )
     if impl == "pallas":
-        fwd_fn = functools.partial(sweep_fwd, band=band)
-        bwd_fn = functools.partial(sweep_bwd, band=band)
+        fwd_fn = functools.partial(sweep_fwd, band=band,
+                                   interpret=interpret)
+        bwd_fn = functools.partial(sweep_bwd, band=band,
+                                   interpret=interpret)
     elif impl == "xla":
         fwd_fn, bwd_fn = sweep_fwd_xla, sweep_bwd_xla
     else:

@@ -287,12 +287,6 @@ def make_train_step(
         loss = jax.lax.psum(loss, "data") / n_shards
         return loss, grads
 
-    geom_specs = {
-        "coeffs": P(), "dt": P(None, "data", None),
-        "lattice": P(), "uv": P(), "valid": P(),
-        "wvb": P(), "wub": P(),
-    }
-
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, geom_batch, targets, r0s):
         if rows is not None:
@@ -300,7 +294,7 @@ def make_train_step(
         loss, grads = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), geom_specs, P(), P()),
+            in_specs=(P(), _geom_specs(geom_batch), P(), P()),
             out_specs=(P(), P()),
         )(params, geom_batch, targets, r0s)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -308,6 +302,23 @@ def make_train_step(
         return params, opt_state, loss
 
     return step
+
+
+def _geom_specs(geom_batch):
+    """Row-sharding specs matching the ACTUAL stacked-geometry keys.
+
+    'wvb'/'wub' are only present when group_views planned a warp tiling
+    (TPUVR_WARP=gather or an undividable resolution omits them), so the
+    specs must be derived from the batch, not hard-coded — a fixed dict
+    would fail shard_map's pytree-structure check for the gather path.
+    Only 'dt' is ray-row data; everything else is per-view scalars.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        k: (P(None, "data", None) if k == "dt" else P())
+        for k in geom_batch
+    }
 
 
 def make_train_step_zsharded(
@@ -433,12 +444,6 @@ def make_train_step_zsharded(
         loss = jax.lax.psum(loss, ("data", "z")) / (n_data * n_z)
         return loss, grads
 
-    geom_specs = {
-        "coeffs": P(), "dt": P(None, "data", None),
-        "lattice": P(), "uv": P(), "valid": P(),
-        "wvb": P(), "wub": P(),
-    }
-
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, geom_batch, targets, r0s):
         if rows is not None:
@@ -446,7 +451,7 @@ def make_train_step_zsharded(
         loss, grads = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P("z"), geom_specs, P(), P()),
+            in_specs=(P("z"), _geom_specs(geom_batch), P(), P()),
             out_specs=(P(), P("z")),
         )(params, geom_batch, targets, r0s)
         updates, opt_state = opt.update(grads, opt_state, params)
