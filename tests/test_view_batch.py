@@ -1,0 +1,108 @@
+"""View-batched sweeps: one grid stream marching a whole view minibatch.
+
+The c4 train step renders k views per step; looping views re-streams the
+grid k times (268 MB per view at 256^3 — the measured round-2 step cost
+is HBM-bound on exactly that traffic). The batched path stacks the
+views' intermediate planes along V and gives every v-tile its own affine
+(per-(slice, v-tile) SMEM scalars), so the grid streams ONCE per step.
+
+These tests pin the batched kernels to the per-view loop to f32
+rounding (the batched path folds each view's base-row offset into its
+intercept, so tap weights round differently in the last ulp).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvr.kernels.sweep import band_tiles, sweep_fwd
+from tpuvr.kernels.sweep_bwd import sweep_bwd
+
+
+def _views_setup(seed=23, views=2, s=4, n_y=144, n_x=160, n_v=128,
+                 n_u=128):
+    rng = np.random.default_rng(seed)
+    grid_sc = jnp.asarray(
+        rng.random((s, 4, n_y, n_x), dtype=np.float32) * 0.5
+    )
+    # Distinct per-view affines within one (axis, reverse) group, slopes
+    # in the 128-tile regime; intercepts hit window clamping on one view.
+    ay = jnp.asarray(rng.uniform(0.5, 0.9, (views, s)), jnp.float32)
+    ax = jnp.asarray(rng.uniform(0.5, 0.9, (views, s)), jnp.float32)
+    by = jnp.asarray(rng.uniform(-10.0, 20.0, (views, s)), jnp.float32)
+    bx = jnp.asarray(rng.uniform(-5.0, 30.0, (views, s)), jnp.float32)
+    enables = jnp.asarray(
+        rng.integers(0, 2, (views, s))
+        + np.array([[1.0] + [0.0] * (s - 1)]),  # keep slice 0 live
+        jnp.float32,
+    ).clip(0.0, 1.0)
+    dt = jnp.asarray(
+        rng.uniform(0.5, 1.0, (views, n_v, n_u)), jnp.float32
+    )
+    band = (0.9, 0.9, 0.5, 0.5)
+    assert band_tiles(band, views * n_v, n_u, n_y, n_x) == (128, 128)
+    return grid_sc, (ay, by, ax, bx), enables, dt, band
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_view_batched_fwd_matches_loop(reverse):
+    views = 2
+    grid_sc, coeffs, enables, dt, band = _views_setup(views=views)
+    ay, by, ax, bx = coeffs
+    kw = dict(reverse=reverse, sigma_scale=1.2, early_stop_eps=0.0,
+              precision="highest")
+    rgb_b, t_b = sweep_fwd(
+        grid_sc, coeffs, enables, dt.reshape(-1, dt.shape[-1]),
+        band=band, views=views, **kw,
+    )
+    n_v = dt.shape[1]
+    for w in range(views):
+        rgb_1, t_1 = sweep_fwd(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w], dt[w],
+            band=band, **kw,
+        )
+        sl = slice(w * n_v, (w + 1) * n_v)
+        np.testing.assert_allclose(np.asarray(rgb_b[:, sl]),
+                                   np.asarray(rgb_1), atol=5e-6,
+                                   err_msg=f"v{w}")
+        np.testing.assert_allclose(np.asarray(t_b[sl]),
+                                   np.asarray(t_1), atol=5e-6)
+
+
+def test_view_batched_bwd_matches_loop():
+    views = 2
+    grid_sc, coeffs, enables, dt, band = _views_setup(seed=29,
+                                                      views=views)
+    ay, by, ax, bx = coeffs
+    n_v, n_u = dt.shape[1], dt.shape[2]
+    rng = np.random.default_rng(31)
+    d_color = jnp.asarray(
+        rng.random((3, views * n_v, n_u), dtype=np.float32)
+    )
+    d_trans = jnp.asarray(
+        rng.random((views * n_v, n_u), dtype=np.float32)
+    )
+    kw = dict(reverse=False, sigma_scale=1.2, early_stop_eps=0.0,
+              precision="highest")
+    c_fin, t_fin = sweep_fwd(
+        grid_sc, coeffs, enables, dt.reshape(-1, n_u),
+        band=band, views=views, **kw,
+    )
+    g_b = sweep_bwd(
+        grid_sc, coeffs, enables, dt.reshape(-1, n_u), c_fin, t_fin,
+        d_color, d_trans, band=band, views=views, **kw,
+    )
+    g_sum = jnp.zeros_like(g_b)
+    for w in range(views):
+        sl = slice(w * n_v, (w + 1) * n_v)
+        c1, t1 = sweep_fwd(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w], dt[w],
+            band=band, **kw,
+        )
+        g1 = sweep_bwd(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w], dt[w],
+            c1, t1, d_color[:, sl], d_trans[sl], band=band, **kw,
+        )
+        g_sum = g_sum + g1
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_sum),
+                               atol=2e-5)

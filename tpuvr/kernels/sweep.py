@@ -249,7 +249,7 @@ def band_ok(band, n_v, n_u, n_y, n_x) -> bool:
 
 
 def _sweep_fwd_banded_kernel(
-    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
+    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM (S, n_vt) scalars
     occ_ref,    # SMEM (block, Tv, Tu) this step's tile gates (traversal
                 # order within the block — NOT flipped for reverse)
     slice_ref,  # (B, 4, Y, X) current block of grid slices
@@ -277,6 +277,14 @@ def _sweep_fwd_banded_kernel(
     transposed partial (X, Tv) so the column stage's X-window is again a
     sublane slice (Mosaic's dynamic lane slicing is the thing to avoid).
     Bit-compatible with the dense kernel up to f32 summation order.
+
+    Scalar arrays are (S, n_vtiles): per-(slice, v-tile) coefficients.
+    A single view broadcasts one value per slice; the VIEW-BATCHED path
+    (multiple views' intermediate planes stacked along V, each view's
+    row-intercepts pre-folded with its base offset) gives each v-tile
+    its own affine — the grid then streams ONCE per step for the whole
+    view batch instead of once per view (the c4 train-step optimization:
+    8 views re-streamed 268 MB each at 256^3).
     """
     step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
@@ -306,10 +314,11 @@ def _sweep_fwd_banded_kernel(
         def slice_body(b):
             k = step * block + b
             i_sl = block - 1 - b if reverse else b
-            ay, by, ax, bx = ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k]
-            en = enable_ref[k]
 
             def row_body(vt):
+                ay, by = ay_ref[k, vt], by_ref[k, vt]
+                ax, bx = ax_ref[k, vt], bx_ref[k, vt]
+                en = enable_ref[k, vt]
                 v0 = vt * tile_v
                 f0 = v0 * ay + by
                 r0, boff = _band_window(
@@ -377,7 +386,9 @@ def _sweep_fwd_banded_kernel(
                     acc = occ_ref[b, vt, 0]
                     for ut in range(1, n_u // _TILE):
                         acc = jnp.maximum(acc, occ_ref[b, vt, ut])
-                    pl.when(en * acc > 0.0)(functools.partial(row_body, vt))
+                    pl.when(enable_ref[k, vt] * acc > 0.0)(
+                        functools.partial(row_body, vt)
+                    )
                 else:
                     row_body(vt)
 
@@ -387,18 +398,46 @@ def _sweep_fwd_banded_kernel(
             tmax_ref[0] = jnp.max(trans_ref[...])
 
 
+def _expand_tile_scalars(arrs, views, tile_v, n_v, fold_by=True):
+    """Per-view (views, S) scalar arrays -> per-(slice, vtile) (S, n_vt).
+
+    Each view owns ``n_v // views`` stacked intermediate rows; its row
+    intercept ``by`` is folded with the view's base offset so the kernel
+    evaluates ``f = ay * v_global + by'`` directly. For views == 1 the
+    arrays may be (S,) and are broadcast across the tiles.
+    """
+    ay, by, ax, bx, en = arrs
+    if views == 1:
+        n_vt = n_v // tile_v
+        return tuple(
+            jnp.broadcast_to(a[:, None], (a.shape[0], n_vt))
+            for a in (ay, by, ax, bx, en)
+        )
+    n_v_pv = n_v // views
+    nvt_pv = n_v_pv // tile_v
+    base = (jnp.arange(views, dtype=by.dtype) * n_v_pv)[:, None]
+    by = by - ay * base if fold_by else by
+    # (views, S) -> (S, views * nvt_pv): view-major along the tile axis.
+    def ex(a):
+        a = jnp.transpose(a, (1, 0))           # (S, views)
+        return jnp.repeat(a, nvt_pv, axis=1)   # (S, n_vt)
+
+    return ex(ay), ex(by), ex(ax), ex(bx), ex(en)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "reverse", "sigma_scale", "early_stop_eps", "precision", "interpret",
-        "block", "gate", "band",
+        "block", "gate", "band", "views",
     ),
 )
 def sweep_fwd(
     grid_sc,      # (S, 4, Y, X) permuted grid, channels second
     coeffs,       # (ay, by, ax, bx): four (S,) arrays in traversal order
-    enables,      # (S,) 0/1 in traversal order
-    dt_map,       # (V, U)
+                  # (views > 1: four (views, S) arrays, by un-folded)
+    enables,      # (S,) 0/1 in traversal order ((views, S) when batched)
+    dt_map,       # (V, U) — view batches stack their planes along V
     tile_occ=None,  # optional (S, Tv, Tu) per-(slice, tile) gates
     *,
     reverse: bool = False,
@@ -409,6 +448,7 @@ def sweep_fwd(
     block: int | None = None,
     gate: str = "mul",
     band: tuple | None = None,
+    views: int = 1,
 ):
     """Run the forward sweep. Returns (rgb (3, V, U), trans (V, U)).
 
@@ -442,6 +482,20 @@ def sweep_fwd(
 
     tiles = band_tiles(band, n_v, n_u, n_y, n_x)
     banded = tiles is not None and gate == "mul"
+    if views > 1:
+        if not banded:
+            raise ValueError(
+                "view-batched sweeps need the banded kernel (pass a "
+                "qualifying `band`); loop single views otherwise"
+            )
+        if (n_v // views) % tiles[0]:
+            raise ValueError(
+                f"per-view rows {n_v // views} not divisible by the "
+                f"banded output tile {tiles[0]}"
+            )
+        if tile_occ is not None:
+            raise ValueError("tile_occ gating unsupported for view "
+                             "batches (128-tile grid is per view)")
     # Per-tile occupancy gating is defined on the _TILE grid only.
     gated = banded and tile_occ is not None and tiles == (_TILE, _TILE)
     if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
@@ -455,6 +509,9 @@ def sweep_fwd(
     in_specs = [scalar_spec] * 5
     operands = [ay, by, ax, bx, enables]
     if banded:
+        operands = list(_expand_tile_scalars(
+            (ay, by, ax, bx, enables), views, tiles[0], n_v
+        ))
         kernel = functools.partial(
             _sweep_fwd_banded_kernel,
             sigma_scale=float(sigma_scale),

@@ -147,7 +147,7 @@ def _sweep_bwd_kernel(
 
 
 def _sweep_bwd_banded_kernel(
-    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM per-slice scalars
+    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM (S, n_vt) scalars
     occ_ref,     # SMEM (block, Tv, Tu) this step's tile gates
     slice_ref,   # (B, 4, Y, X) block of grid slices (recompute)
     dt_ref,      # (V, U)
@@ -172,6 +172,7 @@ def _sweep_bwd_banded_kernel(
     gated: bool,
     tile_v: int = _TILE,
     tile_u: int = _TILE,
+    view_tiles: int | None = None,
 ):
     """Banded backward sweep.
 
@@ -190,12 +191,23 @@ def _sweep_bwd_banded_kernel(
     slice; each _TILE-column grad tile is then one (w_u)-contraction.
     ``w_u == U`` statically disables that last banding (dense u-side).
     Same math as the dense kernel up to f32 summation order.
+
+    Scalar arrays are (S, n_vt) per-(slice, v-tile), as in the forward.
+    VIEW BATCHES (``view_tiles`` = v-tiles per view): stage 1 is
+    unchanged (each v-tile reads its own affine), but the projection's
+    u-contraction operator B^T differs per view, so stage 2 folds each
+    view's v-tiles into P separately and ACCUMULATES that view's
+    A^T dS B^T into the slice gradient — the grid (and its gradient
+    output block) still stream exactly once for the whole batch.
     """
     step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
     n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
     dtype = trans_ref.dtype
     t = _TILE  # window width (fixed); tile_v/tile_u are the output tiles
+    n_vt = n_v // tile_v
+    vt_pv = n_vt if view_tiles is None else view_tiles
+    n_views = n_vt // vt_pv
 
     @pl.when(step == 0)
     def _init():
@@ -219,8 +231,6 @@ def _sweep_bwd_banded_kernel(
         def slice_body(b):
             k = step * block + b
             i_sl = block - 1 - b if reverse else b
-            ay, by, ax, bx = ay_ref[k], by_ref[k], ax_ref[k], bx_ref[k]
-            en = enable_ref[k]
 
             # Stage 1 (banded): recompute per-ray state tile-by-tile and
             # assemble the dsig / w cotangent planes.
@@ -228,9 +238,10 @@ def _sweep_bwd_banded_kernel(
                 acc = occ_ref[b, vt, 0]
                 for ut in range(1, n_u // t):
                     acc = jnp.maximum(acc, occ_ref[b, vt, ut])
-                return en * acc > 0.0
+                return enable_ref[k, vt] * acc > 0.0
 
             def row_stage(vt):
+                ay, by = ay_ref[k, vt], by_ref[k, vt]
                 v0 = vt * tile_v
                 f0 = v0 * ay + by
                 r0, boff = _band_window(
@@ -245,6 +256,8 @@ def _sweep_bwd_banded_kernel(
                     )
 
             def tile_stage(vt, ut):
+                ax, bx = ax_ref[k, vt], bx_ref[k, vt]
+                en = enable_ref[k, vt]
                 v0, u0 = vt * tile_v, ut * tile_u
                 g0 = u0 * ax + bx
                 c0, coff = _band_window(
@@ -295,7 +308,8 @@ def _sweep_bwd_banded_kernel(
                     live = row_live(vt)
                     pl.when(live)(functools.partial(row_stage, vt))
                     for ut in range(n_u // tile_u):
-                        tl = en * occ_ref[b, vt, ut] > 0.0
+                        tl = (enable_ref[k, vt] * occ_ref[b, vt, ut]
+                              > 0.0)
                         pl.when(tl)(functools.partial(tile_stage, vt, ut))
                         pl.when(jnp.logical_not(tl))(
                             functools.partial(zero_tile, vt, ut)
@@ -305,9 +319,11 @@ def _sweep_bwd_banded_kernel(
                     for ut in range(n_u // tile_u):
                         tile_stage(vt, ut)
 
-            # Stage 2 (banded transpose): grad = A^T dS B^T from the
-            # assembled planes, written exactly once per slice.
-            inv_ax = 1.0 / jnp.abs(ax)
+            # Stage 2 (banded transpose): grad = sum over views of
+            # A_w^T dS_w B_w^T from the assembled planes. Each view's
+            # v-tiles fold into P under its own A; its B^T projection
+            # then ACCUMULATES into the slice gradient (first view
+            # writes). A single view reduces to one pass, written once.
             for g in range(4):
 
                 def d_rows(v0):
@@ -315,10 +331,8 @@ def _sweep_bwd_banded_kernel(
                     return (dsig_ref[s] if g == 0
                             else d_c_ref[g - 1, s[0], s[1]] * w_ref[s])
 
-                # 2a: v-contraction into P through y-windows.
-                p_ref[...] = jnp.zeros_like(p_ref)
-
                 def accum_rows(vt):
+                    ay, by = ay_ref[k, vt], by_ref[k, vt]
                     v0 = vt * tile_v
                     f0 = v0 * ay + by
                     r0, boff = _band_window(
@@ -332,53 +346,70 @@ def _sweep_bwd_banded_kernel(
                         dims=(((0,), (0,)), ((), ())),
                     )
 
-                for vt in range(n_v // tile_v):
-                    if gated:
-                        # Skipped rows carry zero dsig/w (stage 1 wrote
-                        # zeros) — their accumulate is a no-op.
-                        pl.when(row_live(vt))(
-                            functools.partial(accum_rows, vt)
+                for w_i in range(n_views):
+                    # 2a: v-contraction into P through y-windows (this
+                    # view's tiles only).
+                    p_ref[...] = jnp.zeros_like(p_ref)
+                    for vt in range(w_i * vt_pv, (w_i + 1) * vt_pv):
+                        if gated:
+                            # Skipped rows carry zero dsig/w (stage 1
+                            # wrote zeros) — their accumulate is a no-op.
+                            pl.when(row_live(vt))(
+                                functools.partial(accum_rows, vt)
+                            )
+                        else:
+                            accum_rows(vt)
+                    # This view's u-side operator scalars (uniform
+                    # across its v-tiles).
+                    vt0 = w_i * vt_pv
+                    ay, by = ay_ref[k, vt0], by_ref[k, vt0]
+                    ax, bx = ax_ref[k, vt0], bx_ref[k, vt0]
+                    if w_u >= n_u:
+                        # Dense u-side: one (Y,U)@(U,X) via B^T.
+                        mat_b = _interp_matrices(
+                            ay, by, ax, bx, n_v, n_y, n_x, n_u, dtype
+                        )[1]
+                        gslice = sweep_dot(
+                            p_ref[...], mat_b, precision, dtype,
+                            dims=(((1,), (1,)), ((), ())),
                         )
-                    else:
-                        accum_rows(vt)
-                if w_u >= n_u:
-                    # Dense u-side: one (Y,U)@(U,X) via B^T.
-                    mat_b = _interp_matrices(
-                        ay, by, ax, bx, n_v, n_y, n_x, n_u, dtype
-                    )[1]
-                    grad_ref[i_sl, g] = sweep_dot(
-                        p_ref[...], mat_b, precision, dtype,
-                        dims=(((1,), (1,)), ((), ())),
-                    )
-                    continue
-                # 2b/2c: transpose so u is on sublanes, then one
-                # w_u-contraction per _TILE-column grad tile.
-                pt_ref[...] = jnp.transpose(p_ref[...], (1, 0))
-                for xt in range(n_x // t):
-                    x0 = xt * t
-                    u_a = (x0 - bx) / ax
-                    u_b = (x0 + (t - 1) - bx) / ax
-                    lo = jnp.minimum(u_a, u_b) - inv_ax
-                    u0w = jnp.clip(
-                        jnp.floor(lo), 0, n_u - w_u
-                    ).astype(jnp.int32)
-                    u0w = (u0w // 8) * 8
-                    # B_w[j, x'] = w((u0w+j)*ax + bx - (x0+x')).
-                    jw = jax.lax.broadcasted_iota(
-                        jnp.int32, (w_u, t), 0
-                    ).astype(dtype)
-                    xx = jax.lax.broadcasted_iota(
-                        jnp.int32, (w_u, t), 1
-                    ).astype(dtype)
-                    off = u0w.astype(dtype) * ax + bx - x0
-                    mat_bw = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(jw * ax + off - xx)
-                    )
-                    grad_ref[i_sl, g, :, x0:x0 + t] = sweep_dot(
-                        pt_ref[pl.ds(u0w, w_u), :], mat_bw,
-                        precision, dtype,
-                        dims=(((0,), (0,)), ((), ())),
-                    )  # (Y, t): lhs free dim Y, rhs free dim t
+                        if w_i == 0:
+                            grad_ref[i_sl, g] = gslice
+                        else:
+                            grad_ref[i_sl, g] += gslice
+                        continue
+                    # 2b/2c: transpose so u is on sublanes, then one
+                    # w_u-contraction per _TILE-column grad tile.
+                    inv_ax = 1.0 / jnp.abs(ax)
+                    pt_ref[...] = jnp.transpose(p_ref[...], (1, 0))
+                    for xt in range(n_x // t):
+                        x0 = xt * t
+                        u_a = (x0 - bx) / ax
+                        u_b = (x0 + (t - 1) - bx) / ax
+                        lo = jnp.minimum(u_a, u_b) - inv_ax
+                        u0w = jnp.clip(
+                            jnp.floor(lo), 0, n_u - w_u
+                        ).astype(jnp.int32)
+                        u0w = (u0w // 8) * 8
+                        # B_w[j, x'] = w((u0w+j)*ax + bx - (x0+x')).
+                        jw = jax.lax.broadcasted_iota(
+                            jnp.int32, (w_u, t), 0
+                        ).astype(dtype)
+                        xx = jax.lax.broadcasted_iota(
+                            jnp.int32, (w_u, t), 1
+                        ).astype(dtype)
+                        off = u0w.astype(dtype) * ax + bx - x0
+                        gtile = sweep_dot(
+                            pt_ref[pl.ds(u0w, w_u), :], jnp.maximum(
+                                0.0, 1.0 - jnp.abs(jw * ax + off - xx)
+                            ),
+                            precision, dtype,
+                            dims=(((0,), (0,)), ((), ())),
+                        )  # (Y, t): lhs free dim Y, rhs free dim t
+                        if w_i == 0:
+                            grad_ref[i_sl, g, :, x0:x0 + t] = gtile
+                        else:
+                            grad_ref[i_sl, g, :, x0:x0 + t] += gtile
 
         for b in range(block):
             slice_body(b)
@@ -393,13 +424,13 @@ def _sweep_bwd_banded_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("reverse", "sigma_scale", "early_stop_eps",
-                     "precision", "interpret", "block", "band"),
+                     "precision", "interpret", "block", "band", "views"),
 )
 def sweep_bwd(
     grid_sc,     # (S, 4, Y, X)
-    coeffs,      # (ay, by, ax, bx) traversal order
-    enables,     # (S,)
-    dt_map,      # (V, U)
+    coeffs,      # (ay, by, ax, bx) traversal order ((views, S) batched)
+    enables,     # (S,)  ((views, S) batched)
+    dt_map,      # (V, U) — view batches stack planes along V
     c_final,     # (3, V, U) forward outputs (residuals)
     t_final,     # (V, U)
     d_color,     # (3, V, U) cotangents
@@ -413,6 +444,7 @@ def sweep_bwd(
     interpret: bool | None = None,
     block: int | None = None,
     band: tuple | None = None,
+    views: int = 1,
 ):
     """Gradient of the sweep w.r.t. the grid.
 
@@ -420,6 +452,8 @@ def sweep_bwd(
     ``band`` as in sweep_fwd enables the banded recompute; ``tile_occ``
     as in sweep_fwd gates each recompute tile (banded only) — skipped
     tiles contribute exactly zero gradient, mirroring the forward.
+    ``views`` as in sweep_fwd: the stacked view batch re-marches and
+    projects all views' gradients in ONE grid stream.
     """
     if interpret is None:
         interpret = use_interpret()
@@ -443,6 +477,19 @@ def sweep_bwd(
     # taps to zero weight and corrupt recomputed values AND gradients.
     tiles = band_tiles(band, n_v, n_u, n_y, n_x)
     banded = tiles is not None
+    if views > 1:
+        if not banded:
+            raise ValueError(
+                "view-batched backward needs the banded kernel"
+            )
+        if (n_v // views) % tiles[0]:
+            raise ValueError(
+                f"per-view rows {n_v // views} not divisible by the "
+                f"banded output tile {tiles[0]}"
+            )
+        if tile_occ is not None:
+            raise ValueError("tile_occ gating unsupported for view "
+                             "batches")
     # Per-tile occupancy gating is defined on the _TILE grid only.
     gated = banded and tile_occ is not None and tiles == (_TILE, _TILE)
     if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
@@ -480,6 +527,7 @@ def sweep_bwd(
             gated=gated,
             tile_v=tiles[0],
             tile_u=tiles[1],
+            view_tiles=(n_v // views) // tiles[0],
         )
         if not gated:
             # 1x1 placeholder (never read): the real shape is zero-sized
@@ -512,6 +560,11 @@ def sweep_bwd(
     in_specs = [scalar_spec] * 5
     operands = [ay, by, ax, bx, enables]
     if banded:
+        from tpuvr.kernels.sweep import _expand_tile_scalars
+
+        operands = list(_expand_tile_scalars(
+            (ay, by, ax, bx, enables), views, tiles[0], n_v
+        ))
         in_specs.append(occ_spec)
         operands.append(tile_occ)
     grad_yx = pl.pallas_call(

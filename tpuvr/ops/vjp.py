@@ -35,6 +35,7 @@ def sweep_op(
     precision: str = "highest",
     band: tuple | None = None,
     interpret: bool | None = None,
+    views: int = 1,
 ):
     """Differentiable sweep: (grid_sc, coeffs, enables, dt_map) -> (rgb, T).
 
@@ -44,7 +45,9 @@ def sweep_op(
     ``interpret`` forces Pallas interpret mode (None = auto by backend) —
     lets a TPU-backend process run the shipped kernels on a CPU device
     (bench.py grad_accuracy measures the Pallas impl against the f64
-    oracle that way).
+    oracle that way). ``views`` > 1 (Pallas banded only): the operands
+    are a view batch — coeffs/enables (views, S), ray planes stacked
+    along V — marched in ONE grid stream (see sweep_fwd).
     """
     kw = dict(
         reverse=reverse,
@@ -54,9 +57,11 @@ def sweep_op(
     )
     if impl == "pallas":
         fwd_fn = functools.partial(sweep_fwd, band=band,
-                                   interpret=interpret)
+                                   interpret=interpret, views=views)
         bwd_fn = functools.partial(sweep_bwd, band=band,
-                                   interpret=interpret)
+                                   interpret=interpret, views=views)
+    elif views != 1:
+        raise ValueError("view batching requires impl='pallas'")
     elif impl == "xla":
         fwd_fn, bwd_fn = sweep_fwd_xla, sweep_bwd_xla
     else:
