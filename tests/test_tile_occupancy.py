@@ -139,3 +139,30 @@ def test_render_prepared_gated_matches_oracle():
     )
     np.testing.assert_allclose(rgb_on, rgb_off, atol=1e-6)
     np.testing.assert_allclose(t_on, t_off, atol=1e-6)
+
+
+def test_render_view_wires_occupancy_brick(monkeypatch):
+    """RenderConfig.occupancy_brick must reach prepare_grid (the knob
+    was dead on the product path — regression for VERDICT r2 weak #6)."""
+    import importlib
+
+    R = importlib.import_module("tpuvr.ops.render")
+    from tpuvr.config import RenderConfig
+    from tpuvr.io.synth import smoke_sphere
+    from tpuvr.ref.camera import look_at_perspective
+
+    seen = {}
+    orig = R.prepare_grid
+
+    def spy(grid, **kw):
+        seen["brick"] = kw.get("brick")
+        return orig(grid, **kw)
+
+    monkeypatch.setattr(R, "prepare_grid", spy)
+    n = 16
+    c = (n - 1) / 2.0
+    cam = look_at_perspective((c, c - 3.0 * n, c + 0.5 * n), (c, c, c),
+                              res_x=8, res_y=8)
+    R.render_view(smoke_sphere(n), cam,
+                  RenderConfig(occupancy_brick=4), impl="xla")
+    assert seen["brick"] == 4

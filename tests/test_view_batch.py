@@ -106,3 +106,89 @@ def test_view_batched_bwd_matches_loop():
         g_sum = g_sum + g1
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_sum),
                                atol=2e-5)
+
+
+def test_fit_view_batch_matches_loop(tmp_path, monkeypatch):
+    """fit_grid with the view-batched step vs the per-view loop: same
+    losses and same recovered parameters (to kernel rounding)."""
+    import jax
+
+    from tpuvr.config import RenderConfig, TrainConfig
+    from tpuvr.ref.camera import look_at_perspective
+    from tpuvr.train.fit import (
+        fit_grid,
+        group_views,
+        render_all_views,
+        view_batch_eligible,
+    )
+
+    rng = np.random.default_rng(5)
+    gshape = (8, 128, 128, 4)
+    gt = jnp.asarray(rng.random(gshape, dtype=np.float32) * 0.4)
+    c = (3.5, 63.5, 63.5)  # (z, y, x) grid center
+    cams = [
+        look_at_perspective((c[2] + dx, c[1], -300.0), (c[2], c[1], c[0]),
+                            res_x=128, res_y=128)
+        for dx in (-12.0, 15.0)
+    ]
+    cfg = RenderConfig(early_stop_eps=0.0, precision="highest")
+    targets = np.asarray(render_all_views(gt, cams, cfg, impl="xla"))
+
+    (key, (idxs, stacked, band, _)), = group_views(cams, gshape).items()
+    assert view_batch_eligible(2, band, gshape, key[0],
+                               stacked["dt"].shape[1],
+                               stacked["dt"].shape[2])
+
+    tcfg = TrainConfig(lr=2e-2, steps=2, views_per_batch=2, ckpt_every=0,
+                       seed=3)
+    runs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("TPUVR_VIEW_BATCH", flag)
+        _, params, hist = fit_grid(
+            targets, cams, gshape, tcfg, cfg, impl="pallas",
+            run_dir=str(tmp_path / f"vb{flag}"),
+        )
+        runs[flag] = (np.asarray(params), hist["loss"])
+    np.testing.assert_allclose(runs["1"][1], runs["0"][1], rtol=1e-4)
+    np.testing.assert_allclose(runs["1"][0], runs["0"][0], atol=1e-4)
+
+
+def test_fit_view_batch_mesh_matches_loop(tmp_path, monkeypatch):
+    """Mesh path (rays row-sharded over 'data'): batched vs loop step.
+
+    Uses the XLA views twin: Pallas interpret mode under checked
+    shard_map is unsupported on CPU (see test_dist.py), and the twin
+    exercises exactly the fit.py plumbing that differs (batched coeff
+    stack, single axis-1 intermediate all_gather, per-view warp)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tpuvr.config import RenderConfig, TrainConfig
+    from tpuvr.ref.camera import look_at_perspective
+    from tpuvr.train.fit import fit_grid, render_all_views
+
+    rng = np.random.default_rng(9)
+    gshape = (8, 128, 128, 4)
+    gt = jnp.asarray(rng.random(gshape, dtype=np.float32) * 0.4)
+    c = (3.5, 63.5, 63.5)
+    cams = [
+        look_at_perspective((c[2] + dx, c[1], -300.0), (c[2], c[1], c[0]),
+                            res_x=128, res_y=128)
+        for dx in (-12.0, 15.0)
+    ]
+    cfg = RenderConfig(early_stop_eps=0.0, precision="highest")
+    targets = np.asarray(render_all_views(gt, cams, cfg, impl="xla"))
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+
+    tcfg = TrainConfig(lr=2e-2, steps=2, views_per_batch=2, ckpt_every=0,
+                       seed=3)
+    runs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("TPUVR_VIEW_BATCH", flag)
+        _, params, hist = fit_grid(
+            targets, cams, gshape, tcfg, cfg, impl="xla", mesh=mesh,
+            run_dir=str(tmp_path / f"mvb{flag}"),
+        )
+        runs[flag] = (np.asarray(params), hist["loss"])
+    np.testing.assert_allclose(runs["1"][1], runs["0"][1], rtol=1e-4)
+    np.testing.assert_allclose(runs["1"][0], runs["0"][0], atol=1e-4)

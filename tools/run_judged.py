@@ -226,7 +226,9 @@ def cmd_c4(args):
     eval_targets = np.asarray(
         render_all_views(gt, eval_cams, target_cfg, impl))
 
-    cfg = TrainConfig(lr=args.lr, steps=args.steps, views_per_batch=8,
+    cfg = TrainConfig(lr=args.lr, steps=args.steps,
+                      views_per_batch=args.views_per_batch,
+                      rays_per_view=args.rays_per_view,
                       ckpt_every=max(args.steps // 4, 1),
                       ckpt_dir=os.path.join(run_dir, "ckpt"))
     t0 = time.time()
@@ -243,7 +245,13 @@ def cmd_c4(args):
     half = len(recs) // 2
     t_step = ((recs[-1]["wall_s"] - recs[half]["wall_s"])
               / max(len(recs) - 1 - half, 1))
-    rays_per_step = cfg.views_per_batch * res * res
+    # Rays actually marched per step: with rays_per_view subsampling the
+    # sweep renders a `rows`-high intermediate band per view (n_v = res
+    # at oversample 1.0 for these non-separable orbit cameras).
+    from tpuvr.train.fit import band_rows
+
+    rows = band_rows(args.rays_per_view, res, res, 1)
+    rays_per_step = cfg.views_per_batch * (rows or res) * res
     train_rays = rays_per_step / t_step
 
     psnr_train = evaluate_psnr(grid, cams[::8], targets[::8], target_cfg,
@@ -272,6 +280,8 @@ def cmd_c4(args):
         "value": round(train_rays, 1), "unit": "train rays/s",
         "vs_baseline": round(train_rays / 5e7, 4),
         "steps": args.steps, "precision": args.precision,
+        "views_per_batch": args.views_per_batch,
+        "rays_per_view": args.rays_per_view,
         "psnr_train_db": round(float(psnr_train), 2),
         "psnr_heldout_db": round(float(psnr_eval), 2),
         "step_ms": round(t_step * 1e3, 2),
@@ -302,6 +312,8 @@ def main():
     p4.add_argument("--steps", type=int, default=2000)
     p4.add_argument("--lr", type=float, default=5e-2)
     p4.add_argument("--precision", default="highest")
+    p4.add_argument("--views-per-batch", type=int, default=8)
+    p4.add_argument("--rays-per-view", type=int, default=None)
     p4.add_argument("--run-dir", default="/tmp/tpuvr_c4")
     p4.set_defaults(fn=cmd_c4)
     args = p.parse_args()

@@ -47,6 +47,12 @@ class RenderConfig:
       max_rows_per_call: intermediate-image rows per sweep kernel call;
         larger frames are row-chunked (tpuvr.ops.vjp.chunked_sweep) to
         bound resident VMEM. None disables chunking.
+      oversample: intermediate-lattice density relative to the pixel
+        grid for NON-separable cameras (rolled/tilted: the final
+        bilinear warp resamples lattice rays to pixel rays). 1.0 = one
+        lattice ray per pixel; 2.0 halves the warp's interpolation
+        error at 4x the sweep rays (see
+        tests/test_warp_oracle.py for the measured bound).
     """
 
     mode: str = "plane_sweep"
@@ -60,6 +66,7 @@ class RenderConfig:
     sigma_scale: float = 1.0
     tmin: float = 0.0
     max_rows_per_call: Optional[int] = 512
+    oversample: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -480,18 +480,15 @@ def sweep_fwd(
     def block_index(step):
         return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
 
-    tiles = band_tiles(band, n_v, n_u, n_y, n_x)
+    # View batches pick the v-tile from the PER-VIEW rows so it always
+    # divides each view's stripe of the stacked plane.
+    tiles = band_tiles(band, n_v // views, n_u, n_y, n_x)
     banded = tiles is not None and gate == "mul"
     if views > 1:
         if not banded:
             raise ValueError(
                 "view-batched sweeps need the banded kernel (pass a "
                 "qualifying `band`); loop single views otherwise"
-            )
-        if (n_v // views) % tiles[0]:
-            raise ValueError(
-                f"per-view rows {n_v // views} not divisible by the "
-                f"banded output tile {tiles[0]}"
             )
         if tile_occ is not None:
             raise ValueError("tile_occ gating unsupported for view "

@@ -133,7 +133,8 @@ def render_prepared(
         )
     grid_sc, slice_max, brickmax = prep[axis]
     plan, uv_pixel = plan_sweep(
-        cam, _grid_shape_from_sweep(axis, grid_sc.shape), axis
+        cam, _grid_shape_from_sweep(axis, grid_sc.shape), axis,
+        oversample=cfg.oversample,
     )
     dtype = grid_sc.dtype
     coeffs = slice_coeffs(plan, dtype)
@@ -218,7 +219,7 @@ def render_view(
     axis = dominant_axis(cam)
     prep = prepare_grid(
         grid, axes=(axis,), lighting=lighting, precision=cfg.precision,
-        impl=impl,
+        impl=impl, brick=cfg.occupancy_brick,
     )
     return render_prepared(prep, cam, cfg, impl=impl)
 

@@ -60,8 +60,14 @@ def sweep_op(
                                    interpret=interpret, views=views)
         bwd_fn = functools.partial(sweep_bwd, band=band,
                                    interpret=interpret, views=views)
-    elif views != 1:
-        raise ValueError("view batching requires impl='pallas'")
+    elif impl == "xla" and views != 1:
+        # Semantic twin of the view-batched Pallas op: a per-view loop
+        # with stacked outputs. No single-stream perf claim — it exists
+        # so the batched call signature is testable on the CPU backend
+        # (Pallas interpret mode under checked shard_map is unsupported,
+        # see tests/test_dist.py::test_out_struct_vma_under_shard_map).
+        fwd_fn = functools.partial(_xla_views_fwd, views)
+        bwd_fn = functools.partial(_xla_views_bwd, views)
     elif impl == "xla":
         fwd_fn, bwd_fn = sweep_fwd_xla, sweep_bwd_xla
     else:
@@ -108,6 +114,37 @@ def sweep_op(
 
     op.defvjp(op_fwd, op_bwd)
     return op
+
+
+def _xla_views_fwd(views, grid_sc, coeffs, enables, dt_map,
+                   tile_occ=None, **kw):
+    ay, by, ax, bx = coeffs
+    n_v = dt_map.shape[0] // views
+    rgbs, ts = [], []
+    for w in range(views):
+        rgb, t = sweep_fwd_xla(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w],
+            dt_map[w * n_v:(w + 1) * n_v], tile_occ, **kw,
+        )
+        rgbs.append(rgb)
+        ts.append(t)
+    return jnp.concatenate(rgbs, axis=1), jnp.concatenate(ts, axis=0)
+
+
+def _xla_views_bwd(views, grid_sc, coeffs, enables, dt_map, rgb, trans,
+                   d_rgb, d_trans, tile_occ=None, **kw):
+    ay, by, ax, bx = coeffs
+    n_v = dt_map.shape[0] // views
+    g = None
+    for w in range(views):
+        sl = slice(w * n_v, (w + 1) * n_v)
+        g_w = sweep_bwd_xla(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w],
+            dt_map[sl], rgb[:, sl], trans[sl], d_rgb[:, sl],
+            d_trans[sl], tile_occ, **kw,
+        )
+        g = g_w if g is None else g + g_w
+    return g
 
 
 def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,

@@ -152,6 +152,7 @@ def make_train_step(
     band: Optional[tuple] = None,
     rows: Optional[int] = None,
     warp_tiling=None,
+    view_batch: bool = False,
 ):
     """One jitted train step for a view group (axis, reverse static).
 
@@ -169,6 +170,12 @@ def make_train_step(
     intermediate row band per view per step (TrainConfig.rays_per_view);
     the step then takes per-view band offsets ``r0s``. The loss is the
     masked mean over pixels whose bilinear support lies inside the band.
+
+    ``view_batch`` (decided statically by :func:`view_batch_eligible`):
+    march the whole minibatch through ONE view-batched sweep — the grid
+    streams from HBM once per step instead of ``n_views`` times. At
+    256^3 that is 268 MB of grid traffic per view per direction; the
+    looped step is HBM-bound on exactly that re-streaming.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -184,7 +191,23 @@ def make_train_step(
     op = sweep_op(
         reverse, render_cfg.sigma_scale, render_cfg.early_stop_eps,
         resolve_impl(impl), render_cfg.precision, band=band,
+        views=n_views if view_batch else 1,
     )
+
+    def warp_loss(inter, geom_i, target, r0):
+        """Pixel warp + masked image MSE from an intermediate image."""
+        if rows is None:
+            img = warp_to_pixels_dynamic(
+                inter, geom_i["lattice"], geom_i["uv"],
+                tiling=warp_tiling, vbase=geom_i.get("wvb"),
+                ubase=geom_i.get("wub"),
+            )[..., :3]
+            return jnp.mean((img - target) ** 2)
+        img, mask = warp_to_pixels_band(
+            inter, geom_i["lattice"], geom_i["uv"], r0
+        )
+        err = jnp.mean((img[..., :3] - target) ** 2, axis=-1)
+        return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     def view_loss(grid_sc, enables, geom_i, target, r0, extra_row_off=None):
         """Render one view('s band) and return its masked image MSE."""
@@ -200,18 +223,26 @@ def make_train_step(
         )
         if extra_row_off is not None:
             inter = jax.lax.all_gather(inter, "data", axis=0, tiled=True)
-        if rows is None:
-            img = warp_to_pixels_dynamic(
-                inter, geom_i["lattice"], geom_i["uv"],
-                tiling=warp_tiling, vbase=geom_i.get("wvb"),
-                ubase=geom_i.get("wub"),
-            )[..., :3]
-            return jnp.mean((img - target) ** 2)
-        img, mask = warp_to_pixels_band(
-            inter, geom_i["lattice"], geom_i["uv"], r0
+        return warp_loss(inter, geom_i, target, r0)
+
+    def batched_inters(grid_sc, enables, geom_batch, extra_row_off=None):
+        """All views' intermediate images from ONE batched sweep.
+
+        Returns (n_views, V, U, 4) with channels (r, g, b, T)."""
+        c = geom_batch["coeffs"]  # (n_views, 4, S)
+        ay, by, ax, bx = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
+        if extra_row_off is not None:
+            by = by + extra_row_off * ay
+        en = enables[None, :] * geom_batch["valid"]
+        dt = geom_batch["dt"]  # (n_views, V, U)
+        k, v_pv, n_u = dt.shape
+        rgb_t, t_t = op(
+            grid_sc, (ay, by, ax, bx), en, dt.reshape(k * v_pv, n_u)
         )
-        err = jnp.mean((img[..., :3] - target) ** 2, axis=-1)
-        return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        inter = jnp.transpose(
+            jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0)
+        )
+        return inter.reshape(k, v_pv, n_u, 4)
 
     if mesh is None:
 
@@ -227,11 +258,19 @@ def make_train_step(
                     grid_sc, reverse, render_cfg.use_occupancy
                 )
                 total = 0.0
-                for i in range(n_views):
-                    geom_i = jax.tree.map(lambda a: a[i], geom_batch)
-                    total = total + view_loss(
-                        grid_sc, enables, geom_i, targets[i], r0s[i]
-                    )
+                if view_batch:
+                    inters = batched_inters(grid_sc, enables, geom_batch)
+                    for i in range(n_views):
+                        geom_i = jax.tree.map(lambda a: a[i], geom_batch)
+                        total = total + warp_loss(
+                            inters[i], geom_i, targets[i], r0s[i]
+                        )
+                else:
+                    for i in range(n_views):
+                        geom_i = jax.tree.map(lambda a: a[i], geom_batch)
+                        total = total + view_loss(
+                            grid_sc, enables, geom_i, targets[i], r0s[i]
+                        )
                 return total / n_views
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -255,6 +294,19 @@ def make_train_step(
                 grid_sc, reverse, render_cfg.use_occupancy
             )
             total = 0.0
+            if view_batch:
+                inters = batched_inters(
+                    grid_sc, enables, geom_batch, extra_row_off=row_off
+                )
+                inters = jax.lax.all_gather(
+                    inters, "data", axis=1, tiled=True
+                )
+                for i in range(n_views):
+                    geom_i = jax.tree.map(lambda a: a[i], geom_batch)
+                    total = total + warp_loss(
+                        inters[i], geom_i, targets[i], r0s[i]
+                    )
+                return total / n_views
             for i in range(n_views):
                 geom_i = jax.tree.map(lambda a: a[i], geom_batch)
                 total = total + view_loss(
@@ -302,6 +354,32 @@ def make_train_step(
         return params, opt_state, loss
 
     return step
+
+
+def view_batch_eligible(k_views: int, band, grid_shape, axis: int,
+                        v_per_view: int, n_u: int) -> bool:
+    """Can this view group's step use the view-batched sweep?
+
+    Mirrors sweep_fwd's own static checks: a qualifying banded tiling
+    for the PER-VIEW rows (the batched kernels pick their v-tile from
+    the per-view stripe) and >1 view in the batch. The XLA impl routes
+    to a semantically identical per-view loop twin (so the batched call
+    shape is exercised on CPU meshes too); the single-stream win is the
+    Pallas kernels'. ``TPUVR_VIEW_BATCH=0`` is the escape hatch back to
+    the view loop.
+    """
+    import os
+
+    from tpuvr.kernels.sweep import band_tiles
+    from tpuvr.ref.march import GRID_PERM
+
+    if k_views <= 1 or band is None:
+        return False
+    if os.environ.get("TPUVR_VIEW_BATCH", "1") == "0":
+        return False
+    dims_p = [grid_shape[d] for d in GRID_PERM[axis][:3]]
+    n_y, n_x = dims_p[1], dims_p[2]
+    return band_tiles(band, v_per_view, n_u, n_y, n_x) is not None
 
 
 def _geom_specs(geom_batch):
@@ -536,10 +614,16 @@ def fit_grid(
         rows = band_rows(cfg.rays_per_view, n_v, n_u, n_shards)
         rows_by_key[key] = (rows, n_v)
         maker = make_train_step_zsharded if z_sharded else make_train_step
+        kw = {}
+        if not z_sharded:
+            v_pv = (rows if rows is not None else n_v) // n_shards
+            kw["view_batch"] = view_batch_eligible(
+                k_views, band, grid_shape, key[0], v_pv, n_u
+            )
         steps_fns[key] = maker(
             key, k_views, opt, render_cfg, cfg.density_softplus, impl,
             mesh, grad_buckets=grad_buckets, band=band, rows=rows,
-            warp_tiling=warp_tiling,
+            warp_tiling=warp_tiling, **kw,
         )
 
     rng = np.random.default_rng(cfg.seed + start_step)
