@@ -282,6 +282,20 @@ def main():
     t_noert = bench_fwd_prepared(jax, jnp, grid, cam, cfg_noert, impl)
     log(f"fwd frame-loop (bf16, ERT off): {t_noert*1e3:.3f} ms/frame "
         f"(ERT speedup {t_noert/t_fwd:.2f}x)")
+    # ERT on an OPAQUE scene (VERDICT r3 item 4): the thin smoke sphere
+    # never triggers termination — its empty-corner rays keep the frame
+    # transmittance max at 1 forever, so ERT there is pure check
+    # overhead (the 0.98x above). Dense fog saturates EVERY ray a few
+    # slices in; this is the C6 regime where termination pays.
+    fog = jnp.full((n, n, n, 4), 0.5, grid.dtype)
+    cfg_op = RenderConfig(early_stop_eps=1e-3, precision=prec_fast,
+                          sigma_scale=8.0)
+    cfg_op_off = RenderConfig(early_stop_eps=0.0, precision=prec_fast,
+                              sigma_scale=8.0)
+    t_op = bench_fwd_prepared(jax, jnp, fog, cam, cfg_op, impl)
+    t_op_off = bench_fwd_prepared(jax, jnp, fog, cam, cfg_op_off, impl)
+    log(f"fwd opaque fog: ERT {t_op*1e3:.3f} vs off {t_op_off*1e3:.3f} "
+        f"ms/frame (speedup {t_op_off/t_op:.2f}x)")
     # True train step: raw-grid grads (layout transpose inside) + Adam.
     t_train = bench_train_step(jax, jnp, grid, cam, cfg_fast, impl)
     log(f"train step (bf16, full grid Adam): {t_train*1e3:.3f} ms/step")
@@ -319,6 +333,9 @@ def main():
         "train_step_ms": round(t_train * 1e3, 3),
         "fwd_noert_ms_per_frame": round(t_noert * 1e3, 3),
         "ert_speedup": round(t_noert / t_fwd, 3),
+        "ert_speedup_opaque": round(t_op_off / t_op, 3),
+        "fwd_opaque_ert_ms": round(t_op * 1e3, 3),
+        "fwd_opaque_noert_ms": round(t_op_off * 1e3, 3),
         "pixel_grad_max_abs_err": gerr["pallas"],
         "pixel_grad_max_abs_err_xla": gerr["xla"],
         "grid": n,

@@ -173,10 +173,14 @@ def test_banded_steep_slopes_match_dense():
     )
     d_color = jnp.asarray(rng.random((3, n_v, n_u), dtype=np.float32))
     d_trans = jnp.asarray(rng.random((n_v, n_u), dtype=np.float32))
+    # Slopes past the 64-tile ceiling (~1.87) now return None (the
+    # 32-tile tier measured 2.4x slower than dense and was removed).
+    from tpuvr.kernels.sweep import band_tiles as _bt
+    assert _bt((3.5, 0.5, 3.5, 0.5), 128, 128, 160, 160) is None
     for ay0, ax0, want_tiles in [
         (1.1, 1.1, (64, 64)),      # just past the 128-tile limit
-        (-3.5, 0.5, (32, 128)),    # near the 32-tile ceiling, mixed
-        (0.6, -2.5, (128, 32)),
+        (-1.7, 0.9, (64, 128)),    # near the 64-tile ceiling, mixed
+        (0.6, -1.5, (128, 64)),
     ]:
         ay = jnp.full((s,), ay0, jnp.float32)
         ax = jnp.full((s,), ax0, jnp.float32)

@@ -192,3 +192,54 @@ def test_fit_view_batch_mesh_matches_loop(tmp_path, monkeypatch):
         runs[flag] = (np.asarray(params), hist["loss"])
     np.testing.assert_allclose(runs["1"][1], runs["0"][1], rtol=1e-4)
     np.testing.assert_allclose(runs["1"][0], runs["0"][0], atol=1e-4)
+
+
+@pytest.mark.parametrize("band", [None, (2.5, 2.5, 1.0, 1.0)])
+def test_dense_view_batched_matches_loop(band):
+    """The DENSE view-batched kernels (position-vector A side, per-view
+    B side — the c4 train-step shape where slopes ~2-4 disqualify
+    full-128 banded tiles) vs the per-view dense loop, fwd and bwd."""
+    from tpuvr.kernels.sweep import band_tiles
+
+    views = 2
+    grid_sc, coeffs, enables, dt, _ = _views_setup(seed=37, views=views)
+    ay, by, ax, bx = coeffs
+    # Steeper slopes than the banded-128 regime.
+    ay, ax = ay + 1.0, ax + 1.0
+    coeffs = (ay, by, ax, bx)
+    n_v, n_u = dt.shape[1], dt.shape[2]
+    if band is not None:
+        # Anything but the full-128 banded class routes to dbatch.
+        assert band_tiles(band, n_v, n_u, grid_sc.shape[2],
+                          grid_sc.shape[3]) != (128, 128)
+    kw = dict(reverse=False, sigma_scale=1.1, early_stop_eps=0.0,
+              precision="highest")
+    rgb_b, t_b = sweep_fwd(
+        grid_sc, coeffs, enables, dt.reshape(-1, n_u),
+        band=band, views=views, **kw,
+    )
+    rng = np.random.default_rng(61)
+    d_rgb = jnp.asarray(rng.random((3, views * n_v, n_u),
+                                   dtype=np.float32))
+    d_t = jnp.asarray(rng.random((views * n_v, n_u), dtype=np.float32))
+    g_b = sweep_bwd(
+        grid_sc, coeffs, enables, dt.reshape(-1, n_u), rgb_b, t_b,
+        d_rgb, d_t, band=band, views=views, **kw,
+    )
+    g_sum = jnp.zeros_like(g_b)
+    for w in range(views):
+        sl = slice(w * n_v, (w + 1) * n_v)
+        r1, t1 = sweep_fwd(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w], dt[w],
+            **kw,
+        )
+        np.testing.assert_allclose(np.asarray(rgb_b[:, sl]),
+                                   np.asarray(r1), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(t_b[sl]), np.asarray(t1),
+                                   atol=5e-6)
+        g_sum = g_sum + sweep_bwd(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w], dt[w],
+            r1, t1, d_rgb[:, sl], d_t[sl], **kw,
+        )
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_sum),
+                               atol=2e-5)

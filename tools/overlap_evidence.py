@@ -4,7 +4,11 @@
 AOT-compiles the DP train step for a DEVICELESS v5e:2x4 TPU topology (no
 multi-chip hardware needed — the real XLA:TPU compiler + scheduler run
 via libtpu) and prints where the grid-grad all-reduces land relative to
-the backward sweep kernels in the final schedule.
+the backward sweep kernels in the final schedule. Compiles BOTH the
+baseline step (one trailing bucketed psum) and the round-3 CHUNKED step
+(sweep_op bwd_chunks: the backward is slab-chunked with a (trans, q)
+carry and each chunk psums its gradient immediately — the collectives
+should land BETWEEN the chunked backward kernels).
 
     python tools/overlap_evidence.py
 
@@ -63,38 +67,57 @@ def main() -> int:
         )
 
     params = init_params((n, n, n, 4), True)
-    step = make_train_step(
+
+    def schedule_events(step, tag):
+        args = (
+            absx(params),
+            jax.tree.map(absx, opt.init(params)),
+            jax.tree.map(
+                absx, jax.tree.map(lambda a: a[:n_views], stacked)
+            ),
+            absx(jnp.zeros((n_views, res, res, 3), jnp.float32)),
+            absx(jnp.zeros((n_views,), jnp.int32)),
+        )
+        opts = {"xla_jf_crs_combiner_threshold_in_bytes": "1024"}
+        txt = step.lower(*args).compile(compiler_options=opts).as_text()
+        events = []
+        for i, line in enumerate(txt.splitlines()):
+            if "tpu_custom_call" in line and "sweep" in line:
+                m = re.search(r"%(\S+) =", line)
+                events.append((i, "KERNEL  " + (m.group(1) if m else "?")))
+            elif re.search(r"all-reduce(-start|-done)?\(", line):
+                m = re.search(r"%(\S+) =", line)
+                t = ("AR-START" if "start" in line
+                     else "AR-DONE " if "done" in line else "AR      ")
+                events.append((i, f"{t}" + (m.group(1) if m else "?")))
+        print(f"\n=== {tag} schedule (v5e:2x4 AOT, {n_views} views, "
+              "crs_combiner_threshold=1024):")
+        for i, e in events:
+            print(f"  line {i:5d}  {e}")
+        n_ar = sum("AR" in e for _, e in events)
+        n_async = sum("START" in e for _, e in events)
+        # Interleaving check: any all-reduce with a backward kernel
+        # AFTER it in the schedule overlaps backward compute.
+        kern_lines = [i for i, e in events if "KERNEL" in e]
+        ar_lines = [i for i, e in events if "AR" in e]
+        inter = sum(1 for a in ar_lines if any(k > a for k in kern_lines))
+        print(f"{tag}: {n_ar} all-reduces ({n_async} async), "
+              f"{inter} scheduled before at least one later kernel")
+        return events
+
+    base = make_train_step(
         key, n_views, opt, RenderConfig(early_stop_eps=0.0), True,
         "pallas", mesh, grad_buckets=2, band=band,
         warp_tiling=warp_tiling,
     )
-    args = (
-        absx(params),
-        jax.tree.map(absx, opt.init(params)),
-        jax.tree.map(absx, jax.tree.map(lambda a: a[:n_views], stacked)),
-        absx(jnp.zeros((n_views, res, res, 3), jnp.float32)),
-        absx(jnp.zeros((n_views,), jnp.int32)),
+    schedule_events(base, "baseline (single trailing bucketed psum)")
+
+    chunked = make_train_step(
+        key, n_views, opt, RenderConfig(early_stop_eps=0.0), True,
+        "pallas", mesh, grad_buckets=2, band=band,
+        warp_tiling=warp_tiling, bwd_chunks=4,
     )
-    opts = {"xla_jf_crs_combiner_threshold_in_bytes": "1024"}
-    txt = step.lower(*args).compile(compiler_options=opts).as_text()
-    events = []
-    for i, line in enumerate(txt.splitlines()):
-        if "tpu_custom_call" in line and "sweep" in line:
-            m = re.search(r"%(\S+) =", line)
-            events.append((i, "KERNEL  " + (m.group(1) if m else "?")))
-        elif re.search(r"all-reduce(-start|-done)?\(", line):
-            m = re.search(r"%(\S+) =", line)
-            tag = ("AR-START" if "start" in line
-                   else "AR-DONE " if "done" in line else "AR      ")
-            events.append((i, f"{tag}" + (m.group(1) if m else "?")))
-    print(f"schedule (v5e:2x4 AOT, {n_views} views, 2 buckets, "
-          "crs_combiner_threshold=1024):")
-    for i, e in events:
-        print(f"  line {i:5d}  {e}")
-    n_ar = sum("AR" in e for _, e in events)
-    n_async = sum("START" in e for _, e in events)
-    print(f"\nall-reduces: {n_ar} ({n_async} async); "
-          "see module docstring for the interpretation")
+    schedule_events(chunked, "chunked (bwd_chunks=4, per-chunk psum)")
     return 0
 
 

@@ -105,7 +105,7 @@ def main():
         from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
         from tpuvr.ops.vjp import sweep_op
 
-        axis, reverse = key
+        axis, reverse = key[0], key[1]
         op = sweep_op(reverse, rcfg.sigma_scale, 0.0, impl, tier, band=band)
         geom1 = jax.tree.map(lambda a: a[0], gb0)
         c = geom1["coeffs"]

@@ -6,9 +6,11 @@ This exercises the actual process boundary — coordination service,
 cross-process collectives, process_allgather — that the single-process
 CPU mesh cannot (SURVEY.md §4 multi-host tier; VERDICT r1 item 3):
 
-    python tools/run_multihost_cpu.py [n_procs]
+    python tools/run_multihost_cpu.py [n_procs]            # test suite
+    python tools/run_multihost_cpu.py [n_procs] --scaling  # C14 row
+                                                 (tools/mh_scaling.py)
 
-Exit code 0 iff every process's pytest run passes.
+Exit code 0 iff every process passes.
 """
 
 from __future__ import annotations
@@ -28,9 +30,17 @@ def free_port() -> int:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 2
+    scaling = "--scaling" in sys.argv
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"127.0.0.1:{free_port()}"
+    if scaling:
+        cmd = [sys.executable, "tools/mh_scaling.py"]
+    else:
+        cmd = [sys.executable, "-m", "pytest",
+               "tests/test_multihost.py", "-q", "--no-header",
+               "-p", "no:cacheprovider"]
     procs = []
     for i in range(n):
         env = dict(
@@ -40,19 +50,21 @@ def main() -> int:
             TPUVR_MH_PROC=str(i),
         )
         env.pop("TPUVR_TPU_TESTS", None)
+        flags = env.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-m", "pytest",
-                 "tests/test_multihost.py", "-q", "--no-header",
-                 "-p", "no:cacheprovider"],
-                cwd=repo, env=env,
+                cmd, cwd=repo, env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
         )
     rc = 0
     for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
-        tail = out.decode(errors="replace").strip().splitlines()[-6:]
+        tail = out.decode(errors="replace").strip().splitlines()[-40:]
         print(f"--- process {i} (rc={p.returncode}) ---")
         print("\n".join(tail))
         rc |= p.returncode

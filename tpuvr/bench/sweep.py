@@ -19,10 +19,22 @@ from tpuvr.dist.replicated import data_mesh, render_view_dp
 from tpuvr.ops.render import render_view
 
 
+def _readback(out):
+    """Host-sync on the LOCAL shard (a multi-process global array can't
+    be fetched whole; the local shard closes the wall clock just as
+    well)."""
+    if getattr(out, "is_fully_addressable", True):
+        return np.asarray(out)
+    shards = out.addressable_shards
+    if len(shards):
+        return np.asarray(shards[0].data)
+    return jax.block_until_ready(out)
+
+
 def _time_chained(step, grid, min_wall: float = 2.0,
                   sync_each: bool = False):
     g, out = step(grid)
-    np.asarray(out)
+    _readback(out)
     iters = 4
     while True:
         g = grid
@@ -33,8 +45,8 @@ def _time_chained(step, grid, min_wall: float = 2.0,
                 # Collective-heavy multi-device programs starve the CPU
                 # backend's rendezvous if many frames are queued; force
                 # one frame in flight at a time.
-                np.asarray(out)
-        np.asarray(out)
+                _readback(out)
+        _readback(out)
         wall = time.time() - t0
         if wall >= min_wall or iters >= 4096:
             return wall / iters
@@ -61,7 +73,12 @@ def scaling_table(grid, cam, cfg: RenderConfig = RenderConfig(),
 
     n_local = jax.local_device_count()
     if n_local > 1 and cam.res_y % n_local == 0:
-        mesh = data_mesh(n_local)
+        # THIS process's devices (data_mesh slices the global list, which
+        # under multi-process would hand every process process-0's
+        # devices).
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.local_devices()[:n_local]), ("data",))
 
         @jax.jit
         def stepn(g):
@@ -76,8 +93,25 @@ def scaling_table(grid, cam, cfg: RenderConfig = RenderConfig(),
             "efficiency": (rays / tn) / (n_local * rays / t1),
         })
 
-    if jax.process_count() > 1:
-        rows.append({"devices": jax.device_count(),
-                     "hosts": jax.process_count(),
-                     "note": "run bench under jax.distributed"})
+    n_glob = jax.device_count()
+    if jax.process_count() > 1 and cam.res_y % n_glob == 0:
+        # >= 2 hosts (C14): the SAME SPMD program over the global mesh —
+        # rows sharded across every process's devices, grid replicated.
+        # Every process must execute this branch (gang-scheduled);
+        # jax.distributed must already be initialized
+        # (tpuvr.dist.init.initialize / tools/run_multihost_cpu.py).
+        mesh_g = data_mesh(None)
+
+        @jax.jit
+        def stepg(g):
+            rgb, _ = render_view_dp(g, cam, mesh_g, cfg, impl=impl)
+            return g + jnp.mean(rgb) * 1e-12, rgb
+
+        sync_each = jax.default_backend() == "cpu"
+        tg = _time_chained(stepg, grid, min_wall, sync_each=sync_each)
+        rows.append({
+            "devices": n_glob, "hosts": jax.process_count(),
+            "ms_per_frame": tg * 1e3, "rays_per_s": rays / tg,
+            "efficiency": (rays / tg) / (n_glob * rays / t1),
+        })
     return rows

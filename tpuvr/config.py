@@ -103,13 +103,17 @@ class MeshConfig:
       data: number of devices sharding rays (replicated-grid DP path).
       zshard: number of devices sharding the grid in z-slabs (sharded-grid
         path); 1 disables grid sharding.
-      grad_buckets: number of buckets for overlapping the grid-grad
-        all-reduce with the backward sweep.
+      grad_buckets: number of buckets for the grid-grad all-reduce
+        (the non-overlapped reduction).
+      bwd_chunks: slab-chunk count for the backward sweep; > 1
+        all-reduces each chunk's gradient between backward kernels (the
+        C10 allreduce/backward overlap). 1 disables chunking.
     """
 
     data: int = 1
     zshard: int = 1
     grad_buckets: int = 4
+    bwd_chunks: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,12 +58,16 @@ def retile_rows_to_slabs(x, axis_name: str, row_axis: int):
     return out.reshape((n, out.shape[0] // n) + out.shape[1:])
 
 
-def fold_segments_retiled(rgb_d, t_d, axis_name: str):
+def fold_segments_retiled(rgb_d, t_d, axis_name: str,
+                          reverse: bool = False):
     """Composite per-slab segments into this device's row tile.
 
     Args:
       rgb_d: (3, V, U) this slab's color segment over all rows.
       t_d:   (V, U) this slab's transmittance segment.
+      reverse: device ring order is REVERSED traversal order (reverse
+        sweeps: slab d covers traversal steps from the far end), so the
+        front-to-back fold walks the received segments backwards.
 
     Returns:
       (rgb (3, V/n, U), trans (V/n, U)) for this device's row tile, where
@@ -73,8 +77,10 @@ def fold_segments_retiled(rgb_d, t_d, axis_name: str):
     c_segs = retile_rows_to_slabs(rgb_d, axis_name, row_axis=1)
     t_segs = retile_rows_to_slabs(t_d, axis_name, row_axis=0)
     n = c_segs.shape[0]
-    color, trans = c_segs[0], t_segs[0]
-    for i in range(1, n):
+    order = range(n - 1, -1, -1) if reverse else range(n)
+    order = list(order)
+    color, trans = c_segs[order[0]], t_segs[order[0]]
+    for i in order[1:]:
         color = color + trans[None] * c_segs[i]
         trans = trans * t_segs[i]
     return color, trans

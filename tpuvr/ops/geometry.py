@@ -447,6 +447,51 @@ def warp_to_pixels_band(inter_band, lattice, uv_pixel, r0):
     return img, mask
 
 
+def warp_to_pixels_owned(inter_halo, lattice, uv_pixel, r0, rows_own: int,
+                         n_v: int):
+    """Pixel warp restricted to the intermediate rows this device OWNS.
+
+    The sharded-loss z trainer folds segments with the retile
+    (:func:`tpuvr.dist.retile.fold_segments_retiled`), leaving every
+    device a contiguous ``rows_own``-row block of the intermediate image
+    plus ONE halo row (the next block's first row, fetched with a single
+    ppermute). Ownership is by the CLIPPED bilinear base row: pixels
+    with ``y0 = clip(floor(y), 0, n_v - 2)`` in ``[r0, r0 + rows_own)``
+    — a disjoint, exact cover of all pixels across blocks, with taps
+    identical to :func:`warp_to_pixels_dynamic` (the last block's
+    pixels never tap its unused halo row because of the n_v - 2 clip).
+
+    Args:
+      inter_halo: (rows_own + 1, n_u, C) own rows + halo row.
+      lattice: (4,) [u0, du, v0, dv] traced array.
+      uv_pixel: (H, W, 2) pixel base-plane coords.
+      r0: scalar int32 global index of the block's first row.
+      rows_own/n_v: static block height / global intermediate rows.
+
+    Returns:
+      (img (H, W, C), mask (H, W) bool): ``img`` valid where ``mask``;
+      masks are disjoint and complete across the row blocks.
+    """
+    n_u = inter_halo.shape[1]
+    u0, du, v0, dv = lattice[0], lattice[1], lattice[2], lattice[3]
+    x = (uv_pixel[..., 0] - u0) / du
+    y = (uv_pixel[..., 1] - v0) / dv
+    x0 = jnp.clip(jnp.floor(x), 0, n_u - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, n_v - 2).astype(jnp.int32)
+    mask = (y0 >= r0) & (y0 < r0 + rows_own)
+    yl = jnp.clip(y0 - r0, 0, rows_own - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    g = inter_halo
+    img = (
+        g[yl, x0] * ((1 - fy) * (1 - fx))[..., None]
+        + g[yl, x0 + 1] * ((1 - fy) * fx)[..., None]
+        + g[yl + 1, x0] * (fy * (1 - fx))[..., None]
+        + g[yl + 1, x0 + 1] * (fy * fx)[..., None]
+    )
+    return img, mask
+
+
 def warp_to_pixels(intermediate, plan: SweepPlan, uv_pixel):
     """Bilinearly resample the intermediate image at pixel base points.
 

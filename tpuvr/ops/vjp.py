@@ -36,6 +36,8 @@ def sweep_op(
     band: tuple | None = None,
     interpret: bool | None = None,
     views: int = 1,
+    bwd_chunks: int = 1,
+    axis_name: str | None = None,
 ):
     """Differentiable sweep: (grid_sc, coeffs, enables, dt_map) -> (rgb, T).
 
@@ -48,6 +50,15 @@ def sweep_op(
     oracle that way). ``views`` > 1 (Pallas banded only): the operands
     are a view batch — coeffs/enables (views, S), ray planes stacked
     along V — marched in ONE grid stream (see sweep_fwd).
+
+    ``bwd_chunks`` > 1 slab-chunks the BACKWARD along the slice axis
+    (the kernels thread a (trans, q) recompute carry across chunks) and,
+    with ``axis_name``, all-reduces EACH chunk's gradient as soon as its
+    kernel finishes — the C10 "grid grads all-reduced over ICI,
+    overlapped with the backward sweep": chunk g's psum is independent
+    of chunks g+1.., so the scheduler can run it while they march. The
+    chunked gradient is psum'd INSIDE this op (invariant over
+    ``axis_name``); callers must not re-reduce it.
     """
     kw = dict(
         reverse=reverse,
@@ -87,10 +98,17 @@ def sweep_op(
     def op_bwd(res, cot):
         grid_sc, coeffs, enables, dt_map, tile_occ, rgb, trans = res
         d_rgb, d_trans = cot
-        dgrid = bwd_fn(
-            grid_sc, coeffs, enables, dt_map, rgb, trans, d_rgb, d_trans,
-            tile_occ, **kw,
-        )
+        if bwd_chunks > 1:
+            dgrid = _chunked_bwd(
+                bwd_fn, bwd_chunks, axis_name, reverse,
+                grid_sc, coeffs, enables, dt_map, rgb, trans,
+                d_rgb, d_trans, tile_occ, kw,
+            )
+        else:
+            dgrid = bwd_fn(
+                grid_sc, coeffs, enables, dt_map, rgb, trans, d_rgb,
+                d_trans, tile_occ, **kw,
+            )
         # Inside shard_map(check_vma=True) the cotangent must carry the
         # primal input's vma type. When the grid is replicated over mesh
         # axes the ray-tile cotangents vary over (e.g. 'data' in the DP
@@ -116,6 +134,50 @@ def sweep_op(
     return op
 
 
+def _chunked_bwd(bwd_fn, n_chunks, axis_name, reverse, grid_sc, coeffs,
+                 enables, dt_map, rgb, trans, d_rgb, d_trans, tile_occ,
+                 kw):
+    """Slab-chunked backward with per-chunk gradient all-reduce.
+
+    Chunks follow TRAVERSAL order (chunk 0 = first slices the rays hit)
+    so the (trans, q) carry threads forward; each chunk's pallas_call /
+    scan emits its slab's gradient, which is psum'd over ``axis_name``
+    immediately — in the compiled schedule those collectives sit BETWEEN
+    backward kernels instead of after all of them (see
+    tools/overlap_evidence.py for the AOT schedule dump).
+    """
+    s = grid_sc.shape[0]
+    if s % n_chunks:
+        raise ValueError(f"bwd_chunks {n_chunks} must divide slices {s}")
+    sc = s // n_chunks
+    n_v, n_u = dt_map.shape
+    carry = (jnp.ones((n_v, n_u), grid_sc.dtype),
+             jnp.zeros((n_v, n_u), grid_sc.dtype))
+    # Carries must match the cotangents' mesh-varying type under
+    # checked shard_map (fresh constants are invariant).
+    poison = 0.0 * (jnp.max(d_rgb) + jnp.max(dt_map))
+    carry = (carry[0] + poison, carry[1] + poison)
+    parts = [None] * n_chunks
+    for g in range(n_chunks):
+        tr = slice(g * sc, (g + 1) * sc)     # traversal-step range
+        g_lo = (s - (g + 1) * sc) if reverse else g * sc
+        gsl = slice(g_lo, g_lo + sc)          # grid-order slab
+        grad_g, carry = bwd_fn(
+            grid_sc[gsl],
+            tuple(c[..., tr] for c in coeffs),
+            enables[..., tr],
+            dt_map, rgb, trans, d_rgb, d_trans,
+            tile_occ[tr] if tile_occ is not None else None,
+            carry=carry, **kw,
+        )
+        if axis_name is not None:
+            grad_g = jax.lax.psum(grad_g, axis_name)
+        parts[g] = grad_g
+    if reverse:
+        parts = parts[::-1]
+    return jnp.concatenate(parts, axis=0)
+
+
 def _xla_views_fwd(views, grid_sc, coeffs, enables, dt_map,
                    tile_occ=None, **kw):
     ay, by, ax, bx = coeffs
@@ -132,19 +194,29 @@ def _xla_views_fwd(views, grid_sc, coeffs, enables, dt_map,
 
 
 def _xla_views_bwd(views, grid_sc, coeffs, enables, dt_map, rgb, trans,
-                   d_rgb, d_trans, tile_occ=None, **kw):
+                   d_rgb, d_trans, tile_occ=None, carry=None, **kw):
     ay, by, ax, bx = coeffs
     n_v = dt_map.shape[0] // views
     g = None
+    t_fins, q_fins = [], []
     for w in range(views):
         sl = slice(w * n_v, (w + 1) * n_v)
-        g_w = sweep_bwd_xla(
+        c_w = None if carry is None else (carry[0][sl], carry[1][sl])
+        out = sweep_bwd_xla(
             grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w],
             dt_map[sl], rgb[:, sl], trans[sl], d_rgb[:, sl],
-            d_trans[sl], tile_occ, **kw,
+            d_trans[sl], tile_occ, carry=c_w, **kw,
         )
+        if carry is not None:
+            g_w, (t_f, q_f) = out
+            t_fins.append(t_f)
+            q_fins.append(q_f)
+        else:
+            g_w = out
         g = g_w if g is None else g + g_w
-    return g
+    if carry is None:
+        return g
+    return g, (jnp.concatenate(t_fins, 0), jnp.concatenate(q_fins, 0))
 
 
 def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
