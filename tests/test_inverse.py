@@ -88,3 +88,37 @@ def test_checkpoint_resume_continuity(tmp_path):
     assert hist2["loss"][0] < hist1["loss"][0] * 0.5
     # And it keeps improving.
     assert np.mean(hist2["loss"][-5:]) <= np.mean(hist1["loss"][-5:])
+
+
+def test_steps_per_call_scan_matches_per_step(tmp_path):
+    """TrainConfig.steps_per_call chains K steps in one jitted scan;
+    with a single view group (and no row subsampling, so the rng call
+    sequence matches) the trajectory is identical to per-step calls."""
+    import numpy as np
+
+    from tpuvr.config import RenderConfig, TrainConfig
+    from tpuvr.io.synth import smoke_sphere
+    from tpuvr.ref.camera import look_at_perspective
+    from tpuvr.train.fit import fit_grid, render_all_views
+
+    n = 16
+    gt = smoke_sphere(n)
+    c = (n - 1) / 2.0
+    cams = [
+        look_at_perspective((c + dx, c - 3.0 * n, c + 0.4 * n),
+                            (c, c, c), res_x=16, res_y=16)
+        for dx in (-2.0, 0.0, 2.0)
+    ]
+    rcfg = RenderConfig(early_stop_eps=0.0)
+    targets = np.asarray(render_all_views(gt, cams, rcfg))
+    runs = {}
+    for K in (1, 2):
+        cfg = TrainConfig(lr=3e-2, steps=4, views_per_batch=2,
+                          ckpt_every=0, seed=11, steps_per_call=K)
+        _, params, hist = fit_grid(
+            targets, cams, gt.shape, cfg, rcfg,
+            run_dir=str(tmp_path / f"k{K}"),
+        )
+        runs[K] = (np.asarray(params), hist["loss"])
+    np.testing.assert_allclose(runs[2][1], runs[1][1], rtol=1e-6)
+    np.testing.assert_allclose(runs[2][0], runs[1][0], atol=1e-6)

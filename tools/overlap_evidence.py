@@ -12,19 +12,23 @@ should land BETWEEN the chunked backward kernels).
 
     python tools/overlap_evidence.py
 
-Findings (2026-08-18, this container's libtpu; the per-view-psum variant
-was measured from a temporary edit of make_train_step during round 2):
-  - default pipeline: XLA's CRS combiner merges all bucket psums into ONE
-    tuple all-reduce scheduled after ALL backward kernels;
-  - with compiler option xla_jf_crs_combiner_threshold_in_bytes=1024 the
-    per-view variant keeps its bucket psums separate and INTERLEAVES them
-    between the two views' backward kernels;
-  - but they stay synchronous: XLA:TPU's async collective fusion cannot
-    fuse collectives with opaque Pallas custom-calls, so no
-    all-reduce-start/done pair ever brackets backward compute, and the
-    per-view variant pays n_views x the wire bytes. The shipped trainer
-    therefore psums ONCE per step (bucketed); true overlap needs the
-    all-reduce inside the backward kernel (RDMA ring) — future work.
+Findings (round 3, 2026-08-19, this container's libtpu):
+  - baseline (single trailing bucketed psum): every all-reduce is
+    scheduled AFTER all backward kernels — zero overlap by construction
+    (each grad byte depends on the last view's backward).
+  - chunked (sweep_op bwd_chunks=4): the backward kernels thread a
+    (trans, q) carry so the slice axis splits into chunks, and each
+    chunk's psum is data-independent of later chunks. The compiled
+    schedule now INTERLEAVES the all-reduces between the chunked
+    backward kernels (4 of 9 sit before at least one later kernel).
+  - they remain synchronous: even with
+    xla_tpu_enable_async_collective_fusion(+fuse_all_reduce) XLA:TPU
+    emits no all-reduce-start/done pairs next to opaque Pallas
+    custom-calls, so the wire time is interleaved but not hidden.
+    tools/comm_model.py quantifies what async would buy (0.70 -> 0.95
+    efficiency at 2 v5p chips); the structural prerequisite (chunked
+    grads + interleaved collectives) is built and verified here, the
+    async emission is a compiler limitation tracked as the residual.
 """
 
 from __future__ import annotations
@@ -68,7 +72,7 @@ def main() -> int:
 
     params = init_params((n, n, n, 4), True)
 
-    def schedule_events(step, tag):
+    def schedule_events(step, tag, extra_opts=None):
         args = (
             absx(params),
             jax.tree.map(absx, opt.init(params)),
@@ -79,6 +83,7 @@ def main() -> int:
             absx(jnp.zeros((n_views,), jnp.int32)),
         )
         opts = {"xla_jf_crs_combiner_threshold_in_bytes": "1024"}
+        opts.update(extra_opts or {})
         txt = step.lower(*args).compile(compiler_options=opts).as_text()
         events = []
         for i, line in enumerate(txt.splitlines()):
@@ -118,6 +123,14 @@ def main() -> int:
         warp_tiling=warp_tiling, bwd_chunks=4,
     )
     schedule_events(chunked, "chunked (bwd_chunks=4, per-chunk psum)")
+    schedule_events(
+        chunked, "chunked + async collective fusion flags",
+        extra_opts={
+            "xla_tpu_enable_async_collective_fusion": "true",
+            "xla_tpu_enable_async_collective_fusion_fuse_all_reduce":
+                "true",
+        },
+    )
     return 0
 
 

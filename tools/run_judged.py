@@ -229,6 +229,7 @@ def cmd_c4(args):
     cfg = TrainConfig(lr=args.lr, steps=args.steps,
                       views_per_batch=args.views_per_batch,
                       rays_per_view=args.rays_per_view,
+                      steps_per_call=args.steps_per_call,
                       ckpt_every=max(args.steps // 4, 1),
                       ckpt_dir=os.path.join(run_dir, "ckpt"))
     t0 = time.time()
@@ -238,13 +239,26 @@ def cmd_c4(args):
     )
     wall = time.time() - t0
 
-    # Steady-state step time from the metrics JSONL (skips compiles:
-    # marginal over the last half of each view-group cycle).
+    # Steady-state step time from the metrics JSONL. Records within one
+    # steps_per_call block share a wall stamp, so step time = MEDIAN
+    # block delta / block size: the median excludes compiles AND the
+    # periodic orbax checkpoint saves (which on this box fetch ~768 MB
+    # of state through the axon tunnel, ~30 s each — a tunnel artifact,
+    # not step cost; the mean-based figure is reported alongside).
     recs = [json.loads(l) for l in
             open(os.path.join(run_dir, "metrics.jsonl"))]
+    walls = sorted({round(r["wall_s"], 6) for r in recs})
+    K = max(args.steps_per_call, 1)
+    if len(walls) > 4:
+        deltas = np.diff(np.asarray(walls))
+        deltas = deltas[deltas > 0]
+        t_step = float(np.median(deltas)) / K
+    else:
+        t_step = ((recs[-1]["wall_s"] - recs[0]["wall_s"])
+                  / max(len(recs) - 1, 1))
     half = len(recs) // 2
-    t_step = ((recs[-1]["wall_s"] - recs[half]["wall_s"])
-              / max(len(recs) - 1 - half, 1))
+    t_step_mean = ((recs[-1]["wall_s"] - recs[half]["wall_s"])
+                   / max(len(recs) - 1 - half, 1))
     # Rays actually marched per step: with rays_per_view subsampling the
     # sweep renders a `rows`-high intermediate band per view (n_v = res
     # at oversample 1.0 for these non-separable orbit cameras).
@@ -282,9 +296,11 @@ def cmd_c4(args):
         "steps": args.steps, "precision": args.precision,
         "views_per_batch": args.views_per_batch,
         "rays_per_view": args.rays_per_view,
+        "steps_per_call": args.steps_per_call,
         "psnr_train_db": round(float(psnr_train), 2),
         "psnr_heldout_db": round(float(psnr_eval), 2),
         "step_ms": round(t_step * 1e3, 2),
+        "step_ms_incl_ckpt_stalls": round(t_step_mean * 1e3, 2),
         "wall_s": round(wall, 1),
         "final_loss": history["loss"][-1],
         "grid": n, "frame": res, "impl": impl,
@@ -314,6 +330,7 @@ def main():
     p4.add_argument("--precision", default="highest")
     p4.add_argument("--views-per-batch", type=int, default=8)
     p4.add_argument("--rays-per-view", type=int, default=None)
+    p4.add_argument("--steps-per-call", type=int, default=16)
     p4.add_argument("--run-dir", default="/tmp/tpuvr_c4")
     p4.set_defaults(fn=cmd_c4)
     args = p.parse_args()

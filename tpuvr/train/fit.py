@@ -368,22 +368,18 @@ def make_train_step(
             loss, grads = jax.value_and_grad(loss_local)(params)
             loss = jax.lax.psum(loss, "data") / n_shards
             return loss, grads
-        # COMM-MINIMAL grad reduction: grads accumulate across views
-        # locally and psum ONCE per step (n_views x less ICI traffic than
-        # a per-view psum), split into ``grad_buckets`` collectives.
-        # Overlap finding (recorded in BASELINE.md; reproduce with
-        # tools/overlap_evidence.py on a deviceless v5e:2x4 AOT compile):
-        # every grad byte depends on the LAST view's backward, so nothing
-        # can overlap bucket psums here by construction; a per-view-psum
-        # variant DOES interleave its all-reduces between the backward
-        # kernels once the CRS combiner threshold is lowered
-        # (xla_jf_crs_combiner_threshold_in_bytes), but XLA:TPU schedules
-        # them synchronously — its async collective fusion cannot fuse
-        # collectives with opaque Pallas custom-calls — and it pays
-        # n_views x the wire bytes. True overlap needs the all-reduce
-        # INSIDE the backward kernel (slice-bucket RDMA ring over ICI):
-        # future work. Differentiating a pcast-varying view of the params
-        # keeps the reduction ours (op_bwd skips its implicit psum).
+        # COMM-MINIMAL grad reduction (bwd_chunks == 1): grads
+        # accumulate across views locally and psum ONCE per step
+        # (n_views x less ICI traffic than a per-view psum), split into
+        # ``grad_buckets`` collectives — which all land AFTER the last
+        # backward kernel by construction. The chunked branch above is
+        # the overlap path (per-chunk psums interleaved between the
+        # chunked backward kernels; see tools/overlay_evidence.py —
+        # XLA:TPU still emits them synchronously next to Pallas
+        # custom-calls, so interleaved-not-hidden is the measured
+        # round-3 state). Differentiating a pcast-varying view of the
+        # params keeps the reduction ours (op_bwd skips its implicit
+        # psum).
         params_v = jax.lax.pcast(params, ("data",), to="varying")
         loss, grads = jax.value_and_grad(loss_local)(params_v)
         grads = bucketed_psum_grads(grads, "data", grad_buckets)
@@ -749,43 +745,98 @@ def fit_grid(
         )
         for k in group_keys
     }
+    # steps_per_call > 1: chain K steps of ONE group inside a jitted
+    # lax.scan per dispatch (groups rotate between blocks) — the host
+    # round trip amortizes over the block. K = 1 keeps per-step
+    # round-robin with the loss fetch pipelined one step behind.
+    K = max(int(cfg.steps_per_call), 1)
+    scan_fns = {}
+
+    def scanned_step(key):
+        if key not in scan_fns:
+            inner = steps_fns[key]
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def multi(params, opt_state, geom_all, targets_all, picks,
+                      r0s_all):
+                def body(carry, xs):
+                    p, o = carry
+                    p, o, loss = inner(p, o, geom_all, targets_all,
+                                       xs[0], xs[1])
+                    return (p, o), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (picks, r0s_all)
+                )
+                return params, opt_state, losses
+
+            scan_fns[key] = multi
+        return scan_fns[key]
+
     rng = np.random.default_rng(cfg.seed + start_step)
     history = {"loss": []}
-    pending = None  # (step_no, key, device loss) awaiting readback
+    pending = None  # (step_nos, key, device losses) awaiting readback
 
     def drain(rec):
-        step_i, key_i, loss_dev = rec
-        loss_f = float(loss_dev)
-        history["loss"].append(loss_f)
-        metrics.write(step_i, loss=loss_f, group=str(key_i))
+        step_is, key_i, loss_dev = rec
+        for step_i, loss_f in zip(step_is, np.atleast_1d(
+                np.asarray(loss_dev, np.float64))):
+            history["loss"].append(float(loss_f))
+            metrics.write(step_i, loss=float(loss_f), group=str(key_i))
 
-    for step_no in range(start_step, cfg.steps):
-        key = group_keys[step_no % len(group_keys)]
-        idxs, geom_stacked = groups[key][0], groups[key][1]
+    def draw(key, size=None):
+        idxs = groups[key][0]
         k_views = min(cfg.views_per_batch, len(idxs))
-        pick = jnp.asarray(
-            rng.choice(len(idxs), size=k_views, replace=False), jnp.int32
-        )
+        shape = (k_views,) if size is None else (size, k_views)
+        pick = np.stack([
+            rng.choice(len(idxs), size=k_views, replace=False)
+            for _ in range(size or 1)
+        ])
+        pick = pick.reshape(shape)
         rows, n_v = rows_by_key[key]
         if rows is None:
-            r0s = jnp.zeros((k_views,), jnp.int32)
+            r0s = np.zeros(shape, np.int32)
         else:
-            r0s = jnp.asarray(
-                rng.integers(0, (n_v - rows) // 8 + 1, size=k_views) * 8,
-                jnp.int32,
+            r0s = rng.integers(
+                0, (n_v - rows) // 8 + 1, size=shape
+            ).astype(np.int32) * 8
+        return (jnp.asarray(pick, jnp.int32), jnp.asarray(r0s))
+
+    step_no = start_step
+    blk = 0
+    while step_no < cfg.steps:
+        if K == 1:
+            key = group_keys[step_no % len(group_keys)]
+            pick, r0s = draw(key)
+            params, opt_state, loss = steps_fns[key](
+                params, opt_state, groups[key][1], targets_by_key[key],
+                pick, r0s
             )
-        params, opt_state, loss = steps_fns[key](
-            params, opt_state, geom_stacked, targets_by_key[key], pick,
-            r0s
-        )
-        if pending is not None:
-            drain(pending)
-        pending = (step_no, key, loss)
+            if pending is not None:
+                drain(pending)
+            pending = ([step_no], key, loss)
+            n_done = 1
+        else:
+            key = group_keys[blk % len(group_keys)]
+            n_done = min(K, cfg.steps - step_no)
+            picks, r0s_all = draw(key, size=n_done)
+            params, opt_state, losses = scanned_step(key)(
+                params, opt_state, groups[key][1], targets_by_key[key],
+                picks, r0s_all
+            )
+            if pending is not None:
+                drain(pending)
+            pending = (list(range(step_no, step_no + n_done)), key,
+                       losses)
+            blk += 1
+        next_step = step_no + n_done
         if ckpt is not None and cfg.ckpt_every and (
-            (step_no + 1) % cfg.ckpt_every == 0 or step_no == cfg.steps - 1
+            (next_step % cfg.ckpt_every) < n_done
+            or next_step >= cfg.steps
         ):
-            ckpt.save(step_no,
+            ckpt.save(next_step - 1,
                       {"params": params, "opt_state": opt_state})
+        step_no = next_step
     if pending is not None:
         drain(pending)
     if ckpt is not None:
