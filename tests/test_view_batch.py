@@ -194,6 +194,68 @@ def test_fit_view_batch_mesh_matches_loop(tmp_path, monkeypatch):
     np.testing.assert_allclose(runs["1"][0], runs["0"][0], atol=1e-4)
 
 
+@pytest.mark.parametrize("banded", [False, True])
+def test_view_batch_ert_parity(banded):
+    """ERT semantics of the view-batched kernels (early_stop_eps > 0).
+
+    DENSE batched: PER-VIEW termination state — exact parity with the
+    per-view loop (both check at block granularity). BANDED batched:
+    joint max-over-views state — a view may march past its own
+    termination point, adding contributions bounded by ~eps (each
+    extra step's weight is T*(1-att) <= T < eps).
+    """
+    views, s, eps = 2, 16, 1e-3
+    grid_sc, coeffs, enables, dt, band = _views_setup(seed=41,
+                                                      views=views, s=s)
+    ay, by, ax, bx = coeffs
+    if not banded:
+        band = None  # no static band -> DENSE batched route
+    enables = jnp.ones_like(enables)  # march everything
+    # View 0 terminates fast (huge optical depth), view 1 slowly.
+    dt = dt.at[0].mul(50.0)
+    n_v, n_u = dt.shape[1], dt.shape[2]
+    kw = dict(reverse=False, sigma_scale=4.0, early_stop_eps=eps,
+              precision="highest")
+    rgb_b, t_b = sweep_fwd(
+        grid_sc, coeffs, enables, dt.reshape(-1, n_u),
+        band=band, views=views, **kw,
+    )
+    rng = np.random.default_rng(43)
+    d_rgb = jnp.asarray(rng.random((3, views * n_v, n_u),
+                                   dtype=np.float32))
+    d_t = jnp.asarray(rng.random((views * n_v, n_u), dtype=np.float32))
+    g_b = sweep_bwd(
+        grid_sc, coeffs, enables, dt.reshape(-1, n_u), rgb_b, t_b,
+        d_rgb, d_t, band=band, views=views, **kw,
+    )
+    g_sum = jnp.zeros_like(g_b)
+    # Exact for the dense batched route; eps-bounded for banded.
+    atol_img = 5e-6 if not banded else 8.0 * eps
+    atol_grd = 2e-5 if not banded else 8.0 * eps
+    saw_early_term = False
+    for w in range(views):
+        sl = slice(w * n_v, (w + 1) * n_v)
+        r1, t1 = sweep_fwd(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w], dt[w],
+            band=band, **kw,
+        )
+        saw_early_term = saw_early_term or bool(
+            np.max(np.asarray(t1)) < eps
+        )
+        np.testing.assert_allclose(np.asarray(rgb_b[:, sl]),
+                                   np.asarray(r1), atol=atol_img,
+                                   err_msg=f"v{w}")
+        np.testing.assert_allclose(np.asarray(t_b[sl]), np.asarray(t1),
+                                   atol=atol_img)
+        g_sum = g_sum + sweep_bwd(
+            grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w], dt[w],
+            r1, t1, d_rgb[:, sl], d_t[sl], band=band, **kw,
+        )
+    assert saw_early_term, "fixture never triggered ERT; test is vacuous"
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_sum),
+                               atol=atol_grd)
+
+
 @pytest.mark.parametrize("band", [None, (2.5, 2.5, 1.0, 1.0)])
 def test_dense_view_batched_matches_loop(band):
     """The DENSE view-batched kernels (position-vector A side, per-view

@@ -38,6 +38,8 @@ def main():
     p.add_argument("--views", type=int, default=8)
     p.add_argument("--tiers", default="highest,high,default")
     p.add_argument("--rays-per-view", type=int, default=None)
+    p.add_argument("--view-batch", action="store_true",
+                   help="time the view-batched step (fit_grid default)")
     args = p.parse_args()
 
     import jax
@@ -84,6 +86,7 @@ def main():
         step = make_train_step(
             key, n_views, opt, rcfg, True, impl, None,
             band=band, rows=rows, warp_tiling=tiling,
+            view_batch=args.view_batch,
         )
         params0 = init_params((n, n, n, 4), True)
         opt_state0 = opt.init(params0)

@@ -20,15 +20,19 @@ from tpuvr.ops.render import render_view
 
 
 def _readback(out):
-    """Host-sync on the LOCAL shard (a multi-process global array can't
-    be fetched whole; the local shard closes the wall clock just as
-    well)."""
+    """Host-sync on ALL local shards, then fetch one.
+
+    ``block_until_ready`` blocks on every addressable shard — fetching
+    only shard 0's data would leave other local devices' work queued
+    and weaken the one-frame-in-flight serialization ``sync_each``
+    exists to provide on the CPU multi-process lane."""
+    jax.block_until_ready(out)
     if getattr(out, "is_fully_addressable", True):
         return np.asarray(out)
     shards = out.addressable_shards
     if len(shards):
         return np.asarray(shards[0].data)
-    return jax.block_until_ready(out)
+    return out
 
 
 def _time_chained(step, grid, min_wall: float = 2.0,

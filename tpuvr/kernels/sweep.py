@@ -49,6 +49,17 @@ def dot_precision(precision: str):
 _DOT_DIMS = (((1,), (0,)), ((), ()))
 
 
+def _softplus(x):
+    """softplus = max(x, 0) + log(1 + e^-|x|) — overflow-free and built
+    from Mosaic-lowerable primitives (log1p is not)."""
+    return jnp.maximum(x, 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(x)))
+
+
+def _sigmoid(x):
+    """d softplus / dx, for chaining grid gradients to raw parameters."""
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
 def sweep_dot(a, b, precision: str, dtype, dims=_DOT_DIMS):
     """The contraction behind every sweep resample.
 
@@ -124,6 +135,7 @@ def _sweep_fwd_kernel(
     block: int,
     reverse: bool,
     gate: str,
+    softplus: bool = False,
 ):
     step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
@@ -158,7 +170,14 @@ def _sweep_fwd_kernel(
             sl = slice_ref[block - 1 - b if reverse else b]
 
             def resample(c):
-                tmp = sweep_dot(mat_a, sl[c], precision, dtype)
+                src = sl[c]
+                if softplus and c == 0:
+                    # Fused density transform: the grid holds RAW
+                    # parameters; softplus before interpolation (the
+                    # transform must precede resampling to match
+                    # interpolating softplus(params)).
+                    src = _softplus(src)
+                tmp = sweep_dot(mat_a, src, precision, dtype)
                 return sweep_dot(tmp, mat_b, precision, dtype)
 
             # Rectify after interpolation: negative raw density is
@@ -199,7 +218,7 @@ def _sweep_fwd_dbatch_kernel(
     rgb_ref,    # (3, V, U) out, revisited
     trans_ref,  # (V, U) out, revisited
     tmp_ref,    # scratch (4, V, X): y-side partials for the whole batch
-    tmax_ref,   # SMEM (1,) ERT state
+    tmax_ref,   # SMEM (views,) PER-VIEW ERT state
     *,
     sigma_scale: float,
     early_stop_eps: float,
@@ -207,6 +226,7 @@ def _sweep_fwd_dbatch_kernel(
     block: int,
     reverse: bool,
     views: int,
+    softplus: bool = False,
 ):
     """DENSE view-batched forward sweep (the c4 train-step shape).
 
@@ -223,6 +243,12 @@ def _sweep_fwd_dbatch_kernel(
     folded into the positions (off-grid rows get zero tent weight =>
     sigma 0 => att 1 => exactly zero contribution — the same lossless
     arithmetic gating as gate='mul').
+
+    ERT state is PER VIEW (SMEM (views,)): each view's u-stage and
+    compositing gate on its own transmittance at block granularity —
+    identical results to the per-view loop kernel, which also checks
+    once per block. The shared y-stage only stops once EVERY view's
+    frame has terminated (its cost cannot be split per view).
     """
     step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
@@ -234,9 +260,16 @@ def _sweep_fwd_dbatch_kernel(
     def _init():
         rgb_ref[...] = jnp.zeros_like(rgb_ref)
         trans_ref[...] = jnp.ones_like(trans_ref)
-        tmax_ref[0] = jnp.asarray(1.0, dtype)
+        for w in range(views):
+            tmax_ref[w] = jnp.asarray(1.0, dtype)
 
-    live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
+    if early_stop_eps > 0.0:
+        tall = tmax_ref[0]
+        for w in range(1, views):
+            tall = jnp.maximum(tall, tmax_ref[w])
+        live = tall >= early_stop_eps
+    else:
+        live = True
 
     @pl.when(live)
     def _block():
@@ -254,9 +287,12 @@ def _sweep_fwd_dbatch_kernel(
             mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - yy))
             sl = slice_ref[i_sl]
             for c in range(4):
-                tmp_ref[c] = sweep_dot(mat_a, sl[c], precision, dtype)
+                src = sl[c]
+                if softplus and c == 0:
+                    src = _softplus(src)  # fused density transform
+                tmp_ref[c] = sweep_dot(mat_a, src, precision, dtype)
 
-            for w in range(views):
+            def view_body(w):
                 mat_b = jnp.maximum(
                     0.0,
                     1.0 - jnp.abs(ju * ax_ref[k, w] + bx_ref[k, w] - xx),
@@ -276,10 +312,21 @@ def _sweep_fwd_dbatch_kernel(
                 rgb_ref[2, vs] += wgt * resample(3)
                 trans_ref[vs] = trans * att
 
+            for w in range(views):
+                if early_stop_eps > 0.0:
+                    pl.when(tmax_ref[w] >= early_stop_eps)(
+                        functools.partial(view_body, w)
+                    )
+                else:
+                    view_body(w)
+
         for b in range(block):
             slice_body(b)
         if early_stop_eps > 0.0:
-            tmax_ref[0] = jnp.max(trans_ref[...])
+            for w in range(views):
+                tmax_ref[w] = jnp.max(
+                    trans_ref[w * v_pv:(w + 1) * v_pv]
+                )
 
 
 def batch_positions(coeffs, enables, n_v, views, n_y, dtype):
@@ -391,6 +438,7 @@ def _sweep_fwd_banded_kernel(
     gated: bool,
     tile_v: int = _TILE,
     tile_u: int = _TILE,
+    softplus: bool = False,
 ):
     """Banded forward sweep: exploits the 2-tap band structure of the
     interpolation matrices. A _TILE-row/col output tile only touches a
@@ -458,8 +506,11 @@ def _sweep_fwd_banded_kernel(
                 # AND for the next stage (staged through a VMEM scratch —
                 # Mosaic only dynamic-slices refs, not values).
                 for c in range(4):
+                    src = slice_ref[i_sl, c, pl.ds(r0, t), :]
+                    if softplus and c == 0:
+                        src = _softplus(src)  # fused density transform
                     tmp_ref[c] = sweep_dot(
-                        slice_ref[i_sl, c, pl.ds(r0, t), :], mat_a,
+                        src, mat_a,
                         precision, dtype,
                         dims=(((0,), (1,)), ((), ())),
                     )
@@ -569,7 +620,7 @@ def _expand_tile_scalars(arrs, views, tile_v, n_v, fold_by=True):
     jax.jit,
     static_argnames=(
         "reverse", "sigma_scale", "early_stop_eps", "precision", "interpret",
-        "block", "gate", "band", "views",
+        "block", "gate", "band", "views", "softplus",
     ),
 )
 def sweep_fwd(
@@ -589,6 +640,7 @@ def sweep_fwd(
     gate: str = "mul",
     band: tuple | None = None,
     views: int = 1,
+    softplus: bool = False,
 ):
     """Run the forward sweep. Returns (rgb (3, V, U), trans (V, U)).
 
@@ -604,9 +656,24 @@ def sweep_fwd(
     ungated (slice-level enables + ERT still apply). Callers passing
     tile_occ for sparse perspective scenes should expect the per-tile skip
     to engage only for near-axis views; see band_tiles.
+
+    ERT semantics for view batches (``views`` > 1, early_stop_eps > 0):
+    the DENSE batched kernel keeps PER-VIEW termination state, so its
+    results match the per-view loop exactly (both check at block
+    granularity). The BANDED batched kernel gates on the max
+    transmittance across ALL stacked views — a view marches past its
+    own termination point until the whole batch terminates, adding
+    only sub-eps-transmittance contributions (parity with the loop is
+    bounded by ~eps per channel; exercised in
+    tests/test_view_batch.py::test_view_batch_ert_parity).
     """
     if interpret is None:
         interpret = use_interpret()
+    if softplus and tile_occ is not None:
+        raise ValueError(
+            "tile_occ gating assumes zero density in gated windows; "
+            "softplus density is positive everywhere"
+        )
     s, _, n_y, n_x = grid_sc.shape
     n_v, n_u = dt_map.shape
     dtype = grid_sc.dtype
@@ -663,10 +730,11 @@ def sweep_fwd(
             block=block,
             reverse=reverse,
             views=views,
+            softplus=softplus,
         )
         scratch = [
             pltpu.VMEM((4, n_v, n_x), dtype),
-            pltpu.SMEM((1,), dtype),
+            pltpu.SMEM((views,), dtype),  # per-view ERT state
         ]
         in_specs += [
             pl.BlockSpec(
@@ -717,6 +785,7 @@ def sweep_fwd(
             gated=gated,
             tile_v=tiles[0],
             tile_u=tiles[1],
+            softplus=softplus,
         )
         scratch = [
             pltpu.VMEM((4, n_x, tiles[0]), dtype),
@@ -747,6 +816,7 @@ def sweep_fwd(
             block=block,
             reverse=reverse,
             gate=gate,
+            softplus=softplus,
         )
         scratch = [pltpu.SMEM((1,), dtype)]
     in_specs += [

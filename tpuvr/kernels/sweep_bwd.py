@@ -47,6 +47,8 @@ from tpuvr.kernels.sweep import (
     _TILE,
     _band_window,
     _interp_matrices,
+    _sigmoid,
+    _softplus,
     band_tiles,
     sweep_dot,
 )
@@ -70,6 +72,7 @@ def _sweep_bwd_kernel(
     precision: str,
     block: int,
     reverse: bool,
+    softplus: bool = False,
 ):
     step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
@@ -104,7 +107,10 @@ def _sweep_bwd_kernel(
             en = enable_ref[k]
 
             def resample(c):
-                tmp = sweep_dot(mat_a, sl[c], precision, dtype)
+                src = sl[c]
+                if softplus and c == 0:
+                    src = _softplus(src)  # fused density transform
+                tmp = sweep_dot(mat_a, src, precision, dtype)
                 return sweep_dot(tmp, mat_b, precision, dtype)
 
             def grad_to_slice(d_vu):
@@ -138,7 +144,11 @@ def _sweep_bwd_kernel(
             dsig = (dsig + q) * (sigma_scale * dt)
             # relu mask + occupancy gate: skipped slices get zero grads.
             dsig = jnp.where(sig_raw > 0.0, dsig, 0.0) * en
-            grad_ref[i, 0] = grad_to_slice(dsig)
+            gs = grad_to_slice(dsig)
+            if softplus:
+                # Chain to raw density parameters: d softplus = sigmoid.
+                gs = gs * _sigmoid(sl[0])
+            grad_ref[i, 0] = gs
             trans_ref[...] = trans * att
 
         for b in range(block):
@@ -165,7 +175,8 @@ def _sweep_bwd_dbatch_kernel(
     trans_ref,   # out (V, U) carry out
     q_ref,       # out (V, U) carry out
     tmp_ref,     # scratch (4, V, X) y-side recompute partials
-    tmax_ref,    # SMEM (1,)
+    e_ref,       # scratch (4, V, X) B-projected cotangent planes
+    tmax_ref,    # SMEM (views,) PER-VIEW ERT state
     *,
     sigma_scale: float,
     early_stop_eps: float,
@@ -173,17 +184,29 @@ def _sweep_bwd_dbatch_kernel(
     block: int,
     reverse: bool,
     views: int,
+    softplus: bool = False,
 ):
     """DENSE view-batched backward (see _sweep_fwd_dbatch_kernel).
 
     Recompute: one (V_total, Y) position-vector tent matrix resamples
-    the whole stacked batch per channel; the per-view u-side and the
-    gradient projections A_w^T dS_w B_w^T loop the (static) view count,
-    ACCUMULATING into the slice gradient so the grid and its gradient
-    block stream exactly once for the whole minibatch. Parked
-    (disabled) rows have all-zero tent weights => sig_raw = 0 => the
-    relu mask and w = 0 zero both density and emission gradients —
+    the whole stacked batch per channel; the per-view u-side loops the
+    (static) view count. The gradient projection
+    ``sum_w A_w^T dS_w B_w^T`` is factored MXU-friendly: each view's
+    B-side lands in a stacked scratch ``E[g] = [dS_w B_w^T]_w``
+    (per-view (v_pv, U) @ (U, X) matmuls), then ONE deep contraction
+    ``A_full^T @ E[g]`` (K = V_total) per channel writes the slice
+    gradient — Sum_w a_w^T (dS_w B_w^T) == A_full^T E because each
+    view's rows are disjoint in A_full. Same FLOPs as the per-view
+    pair, but 4 big matmuls replace 32 small ones and the grad block
+    is written exactly once (no per-view VMEM read-modify-write);
+    measured 7.86 -> see tools/kernel_tune.py for the current number.
+    Parked (disabled) rows have all-zero tent weights => sig_raw = 0 =>
+    the relu mask and w = 0 zero both density and emission gradients —
     identical lossless gating to the forward.
+
+    ERT state is PER VIEW, mirroring _sweep_fwd_dbatch_kernel exactly:
+    a terminated view's E rows are zero-filled, so it contributes zero
+    gradient from that block on, matching the per-view loop kernel.
     """
     step = pl.program_id(0)
     n_v, n_u = trans_ref.shape
@@ -195,9 +218,16 @@ def _sweep_bwd_dbatch_kernel(
     def _init():
         trans_ref[...] = trans0_ref[...]
         q_ref[...] = q0_ref[...]
-        tmax_ref[0] = jnp.max(trans0_ref[...])
+        for w in range(views):
+            tmax_ref[w] = jnp.max(trans0_ref[w * v_pv:(w + 1) * v_pv])
 
-    live = tmax_ref[0] >= early_stop_eps if early_stop_eps > 0.0 else True
+    if early_stop_eps > 0.0:
+        tall = tmax_ref[0]
+        for w in range(1, views):
+            tall = jnp.maximum(tall, tmax_ref[w])
+        live = tall >= early_stop_eps
+    else:
+        live = True
 
     @pl.when(live)
     def _block():
@@ -215,9 +245,12 @@ def _sweep_bwd_dbatch_kernel(
             mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - yy))
             sl = slice_ref[i_sl]
             for c in range(4):
-                tmp_ref[c] = sweep_dot(mat_a, sl[c], precision, dtype)
+                src = sl[c]
+                if softplus and c == 0:
+                    src = _softplus(src)  # fused density transform
+                tmp_ref[c] = sweep_dot(mat_a, src, precision, dtype)
 
-            for w in range(views):
+            def view_body(w):
                 mat_b = jnp.maximum(
                     0.0,
                     1.0 - jnp.abs(ju * ax_ref[k, w] + bx_ref[k, w] - xx),
@@ -248,25 +281,48 @@ def _sweep_bwd_dbatch_kernel(
                 dsig = jnp.where(sig_raw > 0.0, dsig, 0.0)
                 trans_ref[vs] = trans * att
 
-                a_w = mat_a[vs]  # (v_pv, Y) this view's rows
+                # B-side projection into the stacked scratch: the final
+                # A_full^T contraction below folds all views at once.
                 for g, d_vu in enumerate([dsig] + d_planes):
-                    p = sweep_dot(
-                        a_w, d_vu, precision, dtype,
-                        dims=(((0,), (0,)), ((), ())),
-                    )  # (Y, U)
-                    g_w = sweep_dot(
-                        p, mat_b, precision, dtype,
+                    e_ref[g, vs] = sweep_dot(
+                        d_vu, mat_b, precision, dtype,
                         dims=(((1,), (1,)), ((), ())),
-                    )  # (Y, X)
-                    if w == 0:
-                        grad_ref[i_sl, g] = g_w
-                    else:
-                        grad_ref[i_sl, g] += g_w
+                    )  # (v_pv, X)
+
+            def view_dead(w):
+                # Terminated view: zero its E rows (its gradient
+                # contribution from this block on is exactly zero).
+                vs = slice(w * v_pv, (w + 1) * v_pv)
+                e_ref[:, vs] = jnp.zeros_like(e_ref[:, vs])
+
+            for w in range(views):
+                if early_stop_eps > 0.0:
+                    alive_w = tmax_ref[w] >= early_stop_eps
+                    pl.when(alive_w)(functools.partial(view_body, w))
+                    pl.when(jnp.logical_not(alive_w))(
+                        functools.partial(view_dead, w)
+                    )
+                else:
+                    view_body(w)
+
+            # One deep (K = V_total) contraction per channel: grad =
+            # A_full^T @ E (per-view row blocks of A are disjoint).
+            for g in range(4):
+                gs = sweep_dot(
+                    mat_a, e_ref[g], precision, dtype,
+                    dims=(((0,), (0,)), ((), ())),
+                )  # (Y, X)
+                if softplus and g == 0:
+                    gs = gs * _sigmoid(sl[0])  # chain to raw params
+                grad_ref[i_sl, g] = gs
 
         for b in range(block):
             slice_body(b)
         if early_stop_eps > 0.0:
-            tmax_ref[0] = jnp.max(trans_ref[...])
+            for w in range(views):
+                tmax_ref[w] = jnp.max(
+                    trans_ref[w * v_pv:(w + 1) * v_pv]
+                )
 
     @pl.when(jnp.logical_not(live))
     def _skipped():
@@ -302,6 +358,7 @@ def _sweep_bwd_banded_kernel(
     tile_v: int = _TILE,
     tile_u: int = _TILE,
     view_tiles: int | None = None,
+    softplus: bool = False,
 ):
     """Banded backward sweep.
 
@@ -379,8 +436,11 @@ def _sweep_bwd_banded_kernel(
                 )
                 mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(ia * ay + boff - ja))
                 for c in range(4):
+                    src = slice_ref[i_sl, c, pl.ds(r0, t), :]
+                    if softplus and c == 0:
+                        src = _softplus(src)  # fused density transform
                     tmp_ref[c] = sweep_dot(
-                        slice_ref[i_sl, c, pl.ds(r0, t), :], mat_a,
+                        src, mat_a,
                         precision, dtype,
                         dims=(((0,), (1,)), ((), ())),
                     )
@@ -526,6 +586,20 @@ def _sweep_bwd_banded_kernel(
                             p_ref[...], mat_b, precision, dtype,
                             dims=(((1,), (1,)), ((), ())),
                         )
+                        if softplus and g == 0:
+                            # chain to raw params (after the last view's
+                            # accumulate for multi-view batches: do it
+                            # only on the final pass)
+                            if w_i == n_views - 1:
+                                if w_i == 0:
+                                    gslice = gslice * _sigmoid(
+                                        slice_ref[i_sl, 0])
+                                else:
+                                    gslice = (grad_ref[i_sl, g] + gslice
+                                              ) * _sigmoid(
+                                        slice_ref[i_sl, 0])
+                                grad_ref[i_sl, g] = gslice
+                                continue
                         if w_i == 0:
                             grad_ref[i_sl, g] = gslice
                         else:
@@ -559,6 +633,14 @@ def _sweep_bwd_banded_kernel(
                             precision, dtype,
                             dims=(((0,), (0,)), ((), ())),
                         )  # (Y, t): lhs free dim Y, rhs free dim t
+                        if softplus and g == 0 and w_i == n_views - 1:
+                            # chain to raw params on the final view pass
+                            prev = (grad_ref[i_sl, g, :, x0:x0 + t]
+                                    if w_i else 0.0)
+                            grad_ref[i_sl, g, :, x0:x0 + t] = (
+                                prev + gtile
+                            ) * _sigmoid(slice_ref[i_sl, 0, :, x0:x0 + t])
+                            continue
                         if w_i == 0:
                             grad_ref[i_sl, g, :, x0:x0 + t] = gtile
                         else:
@@ -577,7 +659,8 @@ def _sweep_bwd_banded_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("reverse", "sigma_scale", "early_stop_eps",
-                     "precision", "interpret", "block", "band", "views"),
+                     "precision", "interpret", "block", "band", "views",
+                     "softplus"),
 )
 def sweep_bwd(
     grid_sc,     # (S, 4, Y, X)
@@ -598,6 +681,7 @@ def sweep_bwd(
     block: int | None = None,
     band: tuple | None = None,
     views: int = 1,
+    softplus: bool = False,
     carry=None,
 ):
     """Gradient of the sweep w.r.t. the grid.
@@ -607,7 +691,11 @@ def sweep_bwd(
     as in sweep_fwd gates each recompute tile (banded only) — skipped
     tiles contribute exactly zero gradient, mirroring the forward.
     ``views`` as in sweep_fwd: the stacked view batch re-marches and
-    projects all views' gradients in ONE grid stream.
+    projects all views' gradients in ONE grid stream. ERT semantics
+    for view batches mirror sweep_fwd: per-view state in the DENSE
+    batched kernel (exact parity with the per-view loop), joint
+    max-over-views state in the BANDED batched kernel (sub-eps
+    divergence; see sweep_fwd docstring).
 
     ``carry``: optional (trans0, q0) — the recompute state entering
     this call, for SLAB-CHUNKED backwards (the grad-allreduce/backward
@@ -619,6 +707,11 @@ def sweep_bwd(
     """
     if interpret is None:
         interpret = use_interpret()
+    if softplus and tile_occ is not None:
+        raise ValueError(
+            "tile_occ gating assumes zero density in gated windows; "
+            "softplus density is positive everywhere"
+        )
     s, _, n_y, n_x = grid_sc.shape
     n_v, n_u = dt_map.shape
     dtype = grid_sc.dtype
@@ -686,6 +779,7 @@ def sweep_bwd(
             tile_v=tiles[0],
             tile_u=tiles[1],
             view_tiles=(n_v // views) // tiles[0],
+            softplus=softplus,
         )
         if not gated:
             # 1x1 placeholder (never read): the real shape is zero-sized
@@ -703,6 +797,7 @@ def sweep_bwd(
             precision=precision,
             block=block,
             reverse=reverse,
+            softplus=softplus,
         )
     # One resident bias plane instead of (c_final, t_final, d_trans):
     # dbias = sum_c dC_c * C_final_c + dT * T_final (see module docstring).
@@ -732,6 +827,7 @@ def sweep_bwd(
             block=block,
             reverse=reverse,
             views=views,
+            softplus=softplus,
         )
         grad_yx, trans_fin, q_fin = pl.pallas_call(
             kernel,
@@ -759,7 +855,8 @@ def sweep_bwd(
             ],
             scratch_shapes=[
                 pltpu.VMEM((4, n_v, n_x), dtype),
-                pltpu.SMEM((1,), dtype),
+                pltpu.VMEM((4, n_v, n_x), dtype),  # stacked B-side E
+                pltpu.SMEM((views,), dtype),  # per-view ERT state
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,

@@ -43,21 +43,33 @@ def _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype, precision):
     return smp, mat_a, mat_b
 
 
+def _softplus_slice(sl):
+    """softplus on the density channel of a (4, Y, X) slice (see
+    tpuvr.kernels.sweep._softplus: the in-kernel density transform)."""
+    sp = jnp.maximum(sl[:1], 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(sl[:1])))
+    return jnp.concatenate([sp, sl[1:]], axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("reverse", "sigma_scale", "early_stop_eps",
-                     "precision"),
+                     "precision", "softplus"),
 )
 def sweep_fwd_xla(
     grid_sc, coeffs, enables, dt_map, tile_occ=None,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
-    precision="highest",
+    precision="highest", softplus=False,
 ):
     """Scan-based forward sweep. Returns (rgb (3, V, U), trans (V, U)).
 
     ``tile_occ`` is accepted for signature parity with the Pallas kernel
     and ignored: tile gating is lossless (gated tiles contribute exactly
     zero), so the dense scan computes the identical result.
+
+    ``softplus``: the grid's density channel holds RAW parameters;
+    apply softplus per slice before resampling (the fused-softplus
+    training path — saves the materialized 268 MB softplus+layout pass
+    per step at 256^3; see tpuvr.train.fit).
     """
     dtype = grid_sc.dtype
     n_v, n_u = dt_map.shape
@@ -68,6 +80,8 @@ def sweep_fwd_xla(
     def step(carry, inp):
         rgb, trans, tmax = carry
         sl, ayk, byk, axk, bxk, enk = inp
+        if softplus:
+            sl = _softplus_slice(sl)
         live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
         go = jnp.logical_and(enk > 0, live)
         smp, _, _ = _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype,
@@ -99,13 +113,13 @@ def sweep_fwd_xla(
 @functools.partial(
     jax.jit,
     static_argnames=("reverse", "sigma_scale", "early_stop_eps",
-                     "precision"),
+                     "precision", "softplus"),
 )
 def sweep_bwd_xla(
     grid_sc, coeffs, enables, dt_map, c_final, t_final, d_color, d_trans,
     tile_occ=None,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
-    precision="highest", carry=None,
+    precision="highest", softplus=False, carry=None,
 ):
     """Scan-based backward sweep (same formulas as the Pallas kernel).
 
@@ -130,7 +144,8 @@ def sweep_bwd_xla(
 
     def step(state, inp):
         trans, q, tmax = state
-        sl, ayk, byk, axk, bxk, enk = inp
+        sl_raw, ayk, byk, axk, bxk, enk = inp
+        sl = _softplus_slice(sl_raw) if softplus else sl_raw
         live = tmax >= early_stop_eps if early_stop_eps > 0.0 else True
         go = jnp.logical_and(enk > 0, live)
         smp, mat_a, mat_b = _resample(
@@ -160,6 +175,10 @@ def sweep_bwd_xla(
             dims=(((2,), (1,)), ((), ())),
         )  # (Y, 4, X)
         grad = jnp.where(go, jnp.transpose(grad, (1, 0, 2)), 0.0)
+        if softplus:
+            # Chain to the raw density parameters: d softplus = sigmoid.
+            sig = 1.0 / (1.0 + jnp.exp(-sl_raw[0]))
+            grad = jnp.concatenate([grad[:1] * sig[None], grad[1:]], 0)
 
         trans = trans * att
         if early_stop_eps > 0.0:

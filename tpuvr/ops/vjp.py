@@ -38,6 +38,7 @@ def sweep_op(
     views: int = 1,
     bwd_chunks: int = 1,
     axis_name: str | None = None,
+    softplus: bool = False,
 ):
     """Differentiable sweep: (grid_sc, coeffs, enables, dt_map) -> (rgb, T).
 
@@ -60,11 +61,19 @@ def sweep_op(
     chunked gradient is psum'd INSIDE this op (invariant over
     ``axis_name``); callers must not re-reduce it.
     """
+    # ``softplus``: the grid's DENSITY channel holds raw parameters and
+    # the kernels apply softplus per streamed slice before resampling
+    # (backward chains d softplus = sigmoid into the density gradient).
+    # The fused-softplus training path (tpuvr.train.fit) uses this to
+    # skip the materialized 2x268 MB softplus+layout pass per step at
+    # 256^3. Mutually exclusive with tile_occ gating (positive density
+    # everywhere).
     kw = dict(
         reverse=reverse,
         sigma_scale=sigma_scale,
         early_stop_eps=early_stop_eps,
         precision=precision,
+        softplus=softplus,
     )
     if impl == "pallas":
         fwd_fn = functools.partial(sweep_fwd, band=band,

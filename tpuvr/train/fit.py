@@ -54,7 +54,8 @@ def init_params(grid_shape, density_softplus: bool, dtype=jnp.float32):
     return params
 
 
-def group_views(cams, grid_shape, dtype=jnp.float32):
+def group_views(cams, grid_shape, dtype=jnp.float32,
+                rays_per_view: Optional[int] = None, n_shards: int = 1):
     """Group cameras by static sweep signature; stack their geometry.
 
     Returns {(axis, reverse, tiles): (view_indices, stacked_geom, band,
@@ -66,11 +67,17 @@ def group_views(cams, grid_shape, dtype=jnp.float32):
     them like any other per-view data.
 
     ``tiles`` is the PER-VIEW banded tile class
-    (tpuvr.kernels.sweep.band_tiles: (128,128)/(64,64)/... or None =
-    dense): grouping on it keeps a whole orbit from being dragged to
-    the dense kernel by its few most-oblique views — a full 256^3
-    orbit is 15/16 (32,32)-banded with one dense view per axis at the
-    45-degree azimuth, and the banded classes stay view-batchable.
+    (tpuvr.kernels.sweep.band_tiles: (128, 128), (64, 64), ... or () =
+    dense) computed from the rows a train step will ACTUALLY sweep —
+    the ``rays_per_view`` band height divided over ``n_shards`` DP row
+    shards — so the key matches sweep_fwd/sweep_bwd's runtime routing
+    (which recomputes band_tiles from the runtime row count). Grouping
+    on it keeps a whole orbit from being dragged to the dense kernel by
+    its few most-oblique views: sub-128-slope views stay in banded
+    view-batchable classes while steeper views (the 128/64 tiers are
+    the only banded ones left; steeper falls back to dense, which
+    measured FASTER than a 32-tile tier at the c4 config) form their
+    own dense-batched class.
     """
     from tpuvr.kernels.sweep import band_tiles
     from tpuvr.ops.warp import (
@@ -85,7 +92,12 @@ def group_views(cams, grid_shape, dtype=jnp.float32):
         axis, reverse, geom, band = view_geometry(cam, grid_shape, dtype)
         n_v, n_u = geom["dt"].shape
         dims_p = [grid_shape[d] for d in GRID_PERM[axis][:3]]
-        tiles = band_tiles(band, n_v, n_u, dims_p[1], dims_p[2])
+        # Key on the tile class of the rows the step will actually
+        # sweep (rays_per_view band, split over the DP row shards) so
+        # the grouping matches the kernels' runtime routing.
+        rows = band_rows(rays_per_view, n_v, n_u, n_shards)
+        v_swept = max((rows if rows is not None else n_v) // n_shards, 1)
+        tiles = band_tiles(band, v_swept, n_u, dims_p[1], dims_p[2])
         # () = dense class; a tuple keeps mixed-class key lists sortable.
         key = (axis, reverse, tiles or ())
         groups.setdefault(key, ([], [], []))
@@ -699,8 +711,11 @@ def fit_grid(
     # ONE transfer: building it directly on the accelerator dispatches
     # hundreds of small array ops through the (high-latency, on this
     # box tunneled) transport — measured minutes of staging at c4.
+    n_shards = mesh.shape["data"] if mesh is not None else 1
     with jax.default_device(jax.devices("cpu")[0]):
-        groups = group_views(cams, grid_shape)
+        groups = group_views(cams, grid_shape,
+                             rays_per_view=cfg.rays_per_view,
+                             n_shards=n_shards)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -712,7 +727,6 @@ def fit_grid(
         for k, v in groups.items()
     }
     group_keys = sorted(groups.keys())
-    n_shards = mesh.shape["data"] if mesh is not None else 1
     steps_fns, rows_by_key = {}, {}
     for key in group_keys:
         idxs, stacked, band, warp_tiling = groups[key]
@@ -803,7 +817,11 @@ def fit_grid(
         return (jnp.asarray(pick, jnp.int32), jnp.asarray(r0s))
 
     step_no = start_step
-    blk = 0
+    # Resume-aligned block rotation: an uninterrupted run visits group
+    # blk % len(groups) at block blk, so a resumed run must start from
+    # the block its start_step falls in (blk=0 would revisit groups —
+    # and consume the per-block rng draws — in a different order).
+    blk = start_step // K
     while step_no < cfg.steps:
         if K == 1:
             key = group_keys[step_no % len(group_keys)]
