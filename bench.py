@@ -169,6 +169,44 @@ def bench_train_step(jax, jnp, grid0, cam, cfg, impl):
     return _timed_scan(jax, jnp, body, ((grid0, opt_state), ()), 8, 32)
 
 
+def bench_train_step_fused(jax, jnp, n, cam, cfg, impl):
+    """The SHIPPED trainer step (fused-softplus, layout-resident state):
+    raw params live in the sweep layout, the kernels apply softplus per
+    streamed slice, gradients come out in layout, Adam updates in
+    layout — zero full-grid transposes or materialized softplus passes
+    in the step (tpuvr.train.fit fused mode, the default for softplus
+    fits). One view of the bench camera per step, built through the
+    same make_train_step fit_grid uses."""
+    import optax
+
+    from tpuvr.ops.render import grid_to_sweep_layout
+    from tpuvr.train.fit import group_views, init_params, make_train_step
+
+    groups = group_views([cam], (n, n, n, 4))
+    ((key, (idxs, stacked, band, tiling)),) = groups.items()
+    opt = optax.adam(1e-3)
+    step = make_train_step(
+        key, 1, opt, cfg, True, impl, None, band=band,
+        warp_tiling=tiling, kernel_softplus=True,
+    )
+    params0 = jax.jit(
+        lambda p: grid_to_sweep_layout(p, key[0])
+    )(init_params((n, n, n, 4), True))
+    opt_state0 = opt.init(params0)
+    targets = jnp.full((1, cam.res_y, cam.res_x, 3), 0.25, jnp.float32)
+    r0s = jnp.zeros((1,), jnp.int32)
+    gb = jax.tree.map(lambda a: a[:1], stacked)
+
+    def body(carry, consts):
+        params, opt_state = carry
+        gb, tg = consts
+        params, opt_state, _ = step(params, opt_state, gb, tg, r0s)
+        return (params, opt_state)
+
+    return _timed_scan(jax, jnp, body,
+                       ((params0, opt_state0), (gb, targets)), 8, 32)
+
+
 def grad_accuracy(jax, jnp):
     """Pixel-grad max abs err vs the f64 oracle, for BOTH impls.
 
@@ -296,9 +334,25 @@ def main():
     t_op_off = bench_fwd_prepared(jax, jnp, fog, cam, cfg_op_off, impl)
     log(f"fwd opaque fog: ERT {t_op*1e3:.3f} vs off {t_op_off*1e3:.3f} "
         f"ms/frame (speedup {t_op_off/t_op:.2f}x)")
+    # Slab-chunked ERT (ert_chunks > 1): the only form that skips the
+    # HBM stream, not just the compute — the in-kernel gate alone
+    # measured ~1.0x on this stream-bound sweep (rows above).
+    cfg_op_ch = RenderConfig(early_stop_eps=1e-3, precision=prec_fast,
+                             sigma_scale=8.0, ert_chunks=8)
+    t_op_ch = bench_fwd_prepared(jax, jnp, fog, cam, cfg_op_ch, impl)
+    # ... and its overhead on a scene that never terminates.
+    cfg_tr_ch = RenderConfig(early_stop_eps=1e-4, precision=prec_fast,
+                             ert_chunks=8)
+    t_tr_ch = bench_fwd_prepared(jax, jnp, grid, cam, cfg_tr_ch, impl)
+    log(f"fwd opaque fog, ert_chunks=8: {t_op_ch*1e3:.3f} ms/frame "
+        f"(speedup {t_op_off/t_op_ch:.2f}x vs no-ERT); transparent-scene "
+        f"overhead {t_tr_ch/t_fwd:.2f}x")
     # True train step: raw-grid grads (layout transpose inside) + Adam.
     t_train = bench_train_step(jax, jnp, grid, cam, cfg_fast, impl)
     log(f"train step (bf16, full grid Adam): {t_train*1e3:.3f} ms/step")
+    t_train_f = bench_train_step_fused(jax, jnp, n, cam, cfg_fast, impl)
+    log(f"train step FUSED (in-kernel softplus, layout-resident state): "
+        f"{t_train_f*1e3:.3f} ms/step")
     gerr = grad_accuracy(jax, jnp)
     log(f"pixel-grad max abs err vs f64 oracle: "
         f"pallas {gerr['pallas']:.3e} / xla {gerr['xla']:.3e}")
@@ -331,10 +385,15 @@ def main():
         "fwd_bwd_high_ms_per_frame": round(t_fb_h3 * 1e3, 3),
         "train_step_rays_per_s": round(rays / t_train, 1),
         "train_step_ms": round(t_train * 1e3, 3),
+        "train_step_fused_rays_per_s": round(rays / t_train_f, 1),
+        "train_step_fused_ms": round(t_train_f * 1e3, 3),
         "fwd_noert_ms_per_frame": round(t_noert * 1e3, 3),
         "ert_speedup": round(t_noert / t_fwd, 3),
         "ert_speedup_opaque": round(t_op_off / t_op, 3),
+        "ert_chunked_speedup_opaque": round(t_op_off / t_op_ch, 3),
+        "ert_chunked_overhead_transparent": round(t_tr_ch / t_fwd, 3),
         "fwd_opaque_ert_ms": round(t_op * 1e3, 3),
+        "fwd_opaque_ert_chunked_ms": round(t_op_ch * 1e3, 3),
         "fwd_opaque_noert_ms": round(t_op_off * 1e3, 3),
         "pixel_grad_max_abs_err": gerr["pallas"],
         "pixel_grad_max_abs_err_xla": gerr["xla"],

@@ -1,0 +1,92 @@
+"""Slab-chunked early ray termination (RenderConfig.ert_chunks).
+
+The in-kernel ERT gate skips compute but not the HBM stream; slab
+chunking puts a lax.cond between slice slabs so terminated frames skip
+remaining kernels entirely. These tests pin:
+
+- transparent scenes (ERT never fires): chunked == unchunked exactly
+  (every slab executes; the compositing fold is the exact segment
+  identity);
+- opaque scenes: chunked output within the ERT error bound (skipped
+  slabs would have contributed < eps transmittance-weighted color);
+- gradients flow through the executed slabs (cond is differentiable)
+  and match the unchunked op where no slab was skipped.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvr.config import RenderConfig
+from tpuvr.io.synth import smoke_sphere
+from tpuvr.ops.render import render_view
+from tpuvr.ref.camera import OrthoCamera, look_at_perspective
+
+N = 16
+RES = 16
+
+
+def _cams():
+    c = (N - 1) / 2.0
+    return [
+        OrthoCamera(center=(c, c, -2.0 * N), forward=(0.0, 0.0, 1.0),
+                    up=(0.0, 1.0, 0.0), width=1.4 * N, height=1.4 * N,
+                    res_x=RES, res_y=RES),
+        # reversed traversal (axis-0 dominant)
+        look_at_perspective((c + 3.0 * N, c + 0.2 * N, c - 0.4 * N),
+                            (c, c, c), res_x=RES, res_y=RES),
+    ]
+
+
+@pytest.mark.parametrize("cam_i", [0, 1])
+def test_ert_chunked_transparent_exact(cam_i):
+    grid = smoke_sphere(N, dtype=jnp.float32)
+    cam = _cams()[cam_i]
+    base = RenderConfig(early_stop_eps=1e-4, precision="highest")
+    chunked = RenderConfig(early_stop_eps=1e-4, precision="highest",
+                           ert_chunks=4)
+    r0, t0 = render_view(grid, cam, base, impl="xla")
+    r1, t1 = render_view(grid, cam, chunked, impl="xla")
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=2e-6)
+
+
+def test_ert_chunked_opaque_within_bound():
+    eps = 1e-3
+    fog = jnp.full((N, N, N, 4), 0.5, jnp.float32)
+    cam = _cams()[0]
+    exact = RenderConfig(early_stop_eps=0.0, precision="highest",
+                         sigma_scale=8.0)
+    chunked = RenderConfig(early_stop_eps=eps, precision="highest",
+                           sigma_scale=8.0, ert_chunks=4)
+    r0, t0 = render_view(fog, cam, exact, impl="xla")
+    r1, t1 = render_view(fog, cam, chunked, impl="xla")
+    # Skipped slabs' contribution is bounded by the entering
+    # transmittance (< eps) times the remaining emission.
+    assert float(jnp.max(jnp.abs(r1 - r0))) < 5.0 * eps
+    assert float(jnp.max(jnp.abs(t1 - t0))) < eps
+
+
+def test_ert_chunked_grad_matches_unchunked():
+    grid = smoke_sphere(N, dtype=jnp.float32)
+    cam = _cams()[1]
+    base = RenderConfig(early_stop_eps=1e-4, precision="highest")
+    chunked = RenderConfig(early_stop_eps=1e-4, precision="highest",
+                           ert_chunks=4)
+
+    def loss(g, cfg):
+        rgb, t = render_view(g, cam, cfg, impl="xla")
+        return jnp.mean((rgb - 0.25) ** 2)
+
+    g0 = jax.grad(lambda g: loss(g, base))(grid)
+    g1 = jax.grad(lambda g: loss(g, chunked))(grid)
+    assert np.isfinite(np.asarray(g1)).all()
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=2e-6)
+
+
+def test_ert_chunks_must_divide():
+    grid = smoke_sphere(N, dtype=jnp.float32)
+    cfg = RenderConfig(early_stop_eps=1e-4, ert_chunks=5)
+    with pytest.raises(ValueError, match="ert_chunks"):
+        render_view(grid, _cams()[0], cfg, impl="xla")

@@ -40,6 +40,12 @@ def main():
     p.add_argument("--rays-per-view", type=int, default=None)
     p.add_argument("--view-batch", action="store_true",
                    help="time the view-batched step (fit_grid default)")
+    p.add_argument("--fused", action="store_true",
+                   help="fused-softplus layout-resident step "
+                        "(fit_grid default when steps_per_call > 1)")
+    p.add_argument("--trace", default=None,
+                   help="capture an xplane trace of 4 steps into this "
+                        "dir and print the top device ops")
     args = p.parse_args()
 
     import jax
@@ -87,8 +93,14 @@ def main():
             key, n_views, opt, rcfg, True, impl, None,
             band=band, rows=rows, warp_tiling=tiling,
             view_batch=args.view_batch,
+            kernel_softplus=args.fused,
         )
-        params0 = init_params((n, n, n, 4), True)
+        params_canon = init_params((n, n, n, 4), True)
+        params0 = params_canon
+        if args.fused:
+            from tpuvr.ops.render import grid_to_sweep_layout as _to_sc
+
+            params0 = jax.jit(lambda p: _to_sc(p, key[0]))(params_canon)
         opt_state0 = opt.init(params0)
         r0s = jnp.zeros((n_views,), jnp.int32)
 
@@ -103,6 +115,25 @@ def main():
         log(f"[{tier}] full step: {t_step*1e3:.2f} ms "
             f"({rays_step/t_step:.3e} train rays/s)")
 
+        if args.trace:
+            from tools.trace_top import top_ops
+
+            @jax.jit
+            def steps4(carry, consts):
+                for _ in range(4):
+                    carry = step_body(carry, consts)
+                return carry
+
+            out = steps4((params0, opt_state0), (gb0, targets))
+            jax.block_until_ready(out)  # compile outside the trace
+            with jax.profiler.trace(args.trace):
+                out = steps4((params0, opt_state0), (gb0, targets))
+                jax.block_until_ready(out)
+            rows, wall = top_ops(args.trace, 30)
+            log(f"[{tier}] trace span {wall:.2f} ms (4 steps)")
+            for name, ms, cnt in rows:
+                log(f"  {ms:9.3f} ms x{cnt:<4d} {name[:100]}")
+
         # ---- decomposition (rows=None path for clarity) ----
         from tpuvr.ops.geometry import warp_to_pixels_dynamic
         from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
@@ -114,7 +145,7 @@ def main():
         c = geom1["coeffs"]
         coeffs1 = (c[0], c[1], c[2], c[3])
 
-        grid0 = params_to_grid(params0, True)
+        grid0 = params_to_grid(params_canon, True)
         gsc0 = jax.jit(lambda g: grid_to_sweep_layout(g, axis))(grid0)
         en0 = jax.jit(
             lambda g: slice_enables(g, reverse, True) * geom1["valid"]
@@ -142,8 +173,8 @@ def main():
 
             return params + loss_fn(params) * 1e-30
 
-        t_fwd = _timed_scan(jax, jnp, fwd_body, (params0, (gb0, targets)),
-                            4, 16)
+        t_fwd = _timed_scan(jax, jnp, fwd_body,
+                            (params_canon, (gb0, targets)), 4, 16)
         log(f"[{tier}] fwd-only 8 views: {t_fwd*1e3:.2f} ms")
 
         def sweep1_body(gsc, consts):
@@ -184,7 +215,8 @@ def main():
             gsc = grid_to_sweep_layout(grid, axis)
             return params + jnp.mean(gsc) * 1e-30
 
-        t_lay = _timed_scan(jax, jnp, layout_body, (params0, ()), 8, 32)
+        t_lay = _timed_scan(jax, jnp, layout_body, (params_canon, ()),
+                            8, 32)
         log(f"[{tier}] softplus+layout fwd: {t_lay*1e3:.2f} ms")
 
         def opt_body(carry, _):
@@ -200,6 +232,7 @@ def main():
         print(json.dumps({
             "metric": f"c4 step breakdown {n}^3@{res}^2x{n_views}",
             "tier": tier, "rows": rows, "impl": impl,
+            "view_batch": args.view_batch, "fused": args.fused,
             "step_ms": round(t_step * 1e3, 2),
             "train_rays_per_s": round(rays_step / t_step, 1),
             "fwd8_ms": round(t_fwd * 1e3, 2),

@@ -26,6 +26,15 @@ class RenderConfig:
         derived from the grid diagonal at trace time.
       early_stop_eps: transmittance threshold for early ray termination (C6);
         0.0 disables ERT.
+      ert_chunks: slab-chunk count for REAL early termination: > 1
+        splits the slice axis into this many slabs with a lax.cond
+        between them, so once every ray terminates the remaining
+        slabs' kernels AND their HBM streams are skipped entirely (the
+        in-kernel ERT gate only skips compute — the stream-bound bf16
+        sweep measured ~1.0x from it even on opaque scenes). Wins on
+        high-optical-depth scenes (see BASELINE.md ert rows); costs a
+        few percent of launch overhead on transparent ones. 1 = one
+        kernel for the whole sweep.
       use_occupancy: enable empty-space skipping via the coarse occupancy
         grid (C6).
       occupancy_brick: brick edge length (voxels) for the occupancy grid.
@@ -60,6 +69,7 @@ class RenderConfig:
     step_dt: float = 0.5
     max_steps: Optional[int] = None
     early_stop_eps: float = 1e-4
+    ert_chunks: int = 1
     use_occupancy: bool = True
     occupancy_brick: int = 8
     tile_skip: bool = False

@@ -36,6 +36,13 @@ def grid_to_sweep_layout(grid, axis: int):
     return jnp.transpose(grid_p, (0, 3, 1, 2))
 
 
+def sweep_layout_to_grid(grid_sc, axis: int):
+    """Inverse of :func:`grid_to_sweep_layout` (every GRID_PERM is an
+    involution, so the same permutation undoes it)."""
+    g = jnp.transpose(grid_sc, (0, 2, 3, 1))
+    return jnp.transpose(g, GRID_PERM[axis])
+
+
 def slice_enables(grid_sc, reverse: bool, use_occupancy: bool):
     """Per-traversal-slice 0/1 compute flags from slice occupancy.
 
@@ -170,6 +177,8 @@ def render_prepared(
     rgb, trans = chunked_sweep(
         op, grid_sc, coeffs, enables, dt_map,
         max_rows=cfg.max_rows_per_call, occ_ctx=occ_ctx,
+        ert_chunks=cfg.ert_chunks, reverse=plan.reverse,
+        eps=cfg.early_stop_eps,
     )
     inter = jnp.concatenate([rgb, trans[None]], axis=0)
     inter = jnp.transpose(inter, (1, 2, 0))  # (V, U, 4)

@@ -228,8 +228,57 @@ def _xla_views_bwd(views, grid_sc, coeffs, enables, dt_map, rgb, trans,
     return g, (jnp.concatenate(t_fins, 0), jnp.concatenate(q_fins, 0))
 
 
+def ert_chunked_sweep(op, grid_sc, coeffs, enables, dt_map, n_chunks,
+                      reverse, eps):
+    """Slab-chunked forward with REAL early termination (C6).
+
+    The in-kernel ERT gate skips compute but the Pallas pipeline still
+    streams every grid slice from HBM — at bf16 'default' the sweep is
+    stream-bound, so whole-frame ERT measured ~1.0x even on an opaque
+    scene (BENCH_r03 ert_speedup_opaque = 0.987). Chunking the slice
+    axis into ``n_chunks`` slabs and folding each slab's fresh render
+    with the compositing identity (C1,T1) + T1*(C2,T2) puts a
+    ``lax.cond`` between slabs: once every ray's transmittance is below
+    ``eps``, the remaining slabs' kernels — and their HBM streams — do
+    not execute at all. Gradients flow through each executed slab's
+    custom VJP (cond is differentiable; skipped slabs contribute
+    exactly zero, matching the ERT error bound).
+
+    Slabs follow traversal order, as in the chunked backward.
+    """
+    s = grid_sc.shape[0]
+    if s % n_chunks:
+        raise ValueError(f"ert_chunks {n_chunks} must divide slices {s}")
+    sc = s // n_chunks
+    n_v, n_u = dt_map.shape
+    dtype = grid_sc.dtype
+    rgb = jnp.zeros((3, n_v, n_u), dtype)
+    trans = jnp.ones((n_v, n_u), dtype)
+    for g in range(n_chunks):
+        tr = slice(g * sc, (g + 1) * sc)      # traversal-step range
+        g_lo = (s - (g + 1) * sc) if reverse else g * sc
+        gsl = slice(g_lo, g_lo + sc)           # grid-order slab
+        slab = grid_sc[gsl]
+        coeffs_g = tuple(c[..., tr] for c in coeffs)
+        en_g = enables[..., tr]
+
+        def run(carry, slab=slab, coeffs_g=coeffs_g, en_g=en_g):
+            rgb, trans = carry
+            rgb_g, t_g = op(slab, coeffs_g, en_g, dt_map)
+            return rgb + trans[None] * rgb_g, trans * t_g
+
+        if g == 0:
+            rgb, trans = run((rgb, trans))
+            continue
+        live = jnp.max(trans) >= eps
+        rgb, trans = jax.lax.cond(
+            live, run, lambda carry: carry, (rgb, trans)
+        )
+    return rgb, trans
+
+
 def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
-                  occ_ctx=None):
+                  occ_ctx=None, ert_chunks=1, reverse=False, eps=0.0):
     """Apply a sweep op over row chunks of the intermediate image.
 
     Large frames (C7: up to 1024^2) cannot keep all resident ray planes in
@@ -247,6 +296,13 @@ def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
 
     Gradients compose through each chunk's custom VJP; chunk grid
     gradients are summed by XLA.
+
+    ``ert_chunks`` > 1 (with ``eps`` > 0): each row chunk additionally
+    slab-chunks the SLICE axis through :func:`ert_chunked_sweep` so
+    early ray termination skips remaining slabs' kernels and HBM
+    streams entirely (per-row-chunk termination is at least as
+    aggressive as whole-image). Mutually exclusive with per-tile
+    occupancy gating (``occ_ctx`` wins; slab chunking is dropped).
     """
     from tpuvr.kernels.occupancy import tile_occupancy
 
@@ -260,8 +316,16 @@ def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
             brickmax, coeffs_c, rows_c, n_u, brick, plane_shape
         )
 
+    def call(coeffs_c, dt_c, occ_c):
+        if ert_chunks > 1 and eps > 0.0 and occ_c is None:
+            return ert_chunked_sweep(
+                op, grid_sc, coeffs_c, enables, dt_c, ert_chunks,
+                reverse, eps,
+            )
+        return op(grid_sc, coeffs_c, enables, dt_c, occ_c)
+
     if max_rows is None or n_v <= max_rows:
-        return op(grid_sc, coeffs, enables, dt_map, occ_for(coeffs, n_v))
+        return call(coeffs, dt_map, occ_for(coeffs, n_v))
     n_chunks = -(-n_v // max_rows)
     while n_v % n_chunks:
         n_chunks += 1
@@ -272,10 +336,8 @@ def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
         r0 = i * rows
         by_i = by + jnp.asarray(r0, by.dtype) * ay
         coeffs_i = (ay, by_i, ax, bx)
-        rgb_i, t_i = op(
-            grid_sc, coeffs_i, enables, dt_map[r0:r0 + rows],
-            occ_for(coeffs_i, rows),
-        )
+        rgb_i, t_i = call(coeffs_i, dt_map[r0:r0 + rows],
+                          occ_for(coeffs_i, rows))
         rgbs.append(rgb_i)
         ts.append(t_i)
     return jnp.concatenate(rgbs, axis=1), jnp.concatenate(ts, axis=0)

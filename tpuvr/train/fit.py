@@ -181,6 +181,7 @@ def make_train_step(
     view_batch: bool = False,
     bwd_chunks: int = 1,
     prestage: bool = False,
+    kernel_softplus: bool = False,
 ):
     """One jitted train step for a view group (axis, reverse static).
 
@@ -212,6 +213,18 @@ def make_train_step(
     autodiff already reduced, so the step differentiates the plain
     (invariant) params and skips the trailing bucketed psum.
 
+    ``kernel_softplus`` (the FUSED-SOFTPLUS path): the step's
+    ``params`` argument is the raw parameter grid ALREADY IN THIS
+    GROUP'S SWEEP LAYOUT (S, 4, Y, X); the kernels apply softplus to
+    the density channel per streamed slice (sweep_op ``softplus``) and
+    emit raw-parameter gradients directly in that layout — no
+    materialized softplus, no layout transposes, no slice_enables
+    reduction anywhere in the step (softplus density is positive
+    everywhere, so slice occupancy is vacuously all-live). fit_grid
+    keeps the whole training state resident in the current group's
+    layout across a steps_per_call block and re-lays it out only on
+    group switches (see fit_grid).
+
     ``prestage``: the step takes the WHOLE group's device-resident
     geometry/targets plus a (n_views,) ``pick`` index vector and
     gathers the minibatch INSIDE the jit — signature
@@ -238,7 +251,21 @@ def make_train_step(
         views=n_views if view_batch else 1,
         bwd_chunks=bwd_chunks if chunked else 1,
         axis_name="data" if chunked else None,
+        softplus=kernel_softplus,
     )
+
+    def grid_and_enables(params):
+        """Sweep-layout grid + slice enables from the raw parameters."""
+        if kernel_softplus:
+            # params ARE the sweep-layout raw grid; softplus density is
+            # positive everywhere so every slice is occupied.
+            return params, jnp.ones((params.shape[0],), params.dtype)
+        grid = params_to_grid(params, density_softplus)
+        grid_sc = grid_to_sweep_layout(grid, axis)
+        enables = slice_enables(
+            grid_sc, reverse, render_cfg.use_occupancy
+        )
+        return grid_sc, enables
 
     def finalize(step_batch):
         if not prestage:
@@ -286,7 +313,15 @@ def make_train_step(
     def batched_inters(grid_sc, enables, geom_batch, extra_row_off=None):
         """All views' intermediate images from ONE batched sweep.
 
-        Returns (n_views, V, U, 4) with channels (r, g, b, T)."""
+        Returns a LIST of n_views (V, U, 4) planes, each assembled from
+        a static row slice of the stacked kernel outputs exactly like
+        the per-view loop builds its plane. Materializing one stacked
+        (n_views, V, U, 4) array instead blocked XLA's fusion of the
+        transpose into the warp's tile gathers: the warp while-loops +
+        their dynamic-update-slices measured 13.3 ms/step against the
+        loop path's 5.3 at the c4 shape (xplane trace, 2026-08-20,
+        tools/profile_c4.py --trace) — more than the batched sweep's
+        whole gradient-traffic win."""
         c = geom_batch["coeffs"]  # (n_views, 4, S)
         ay, by, ax, bx = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
         if extra_row_off is not None:
@@ -297,10 +332,14 @@ def make_train_step(
         rgb_t, t_t = op(
             grid_sc, (ay, by, ax, bx), en, dt.reshape(k * v_pv, n_u)
         )
-        inter = jnp.transpose(
-            jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0)
-        )
-        return inter.reshape(k, v_pv, n_u, 4)
+        outs = []
+        for i in range(k):
+            vs = slice(i * v_pv, (i + 1) * v_pv)
+            outs.append(jnp.transpose(
+                jnp.concatenate([rgb_t[:, vs], t_t[vs][None]], 0),
+                (1, 2, 0),
+            ))
+        return outs
 
     if mesh is None:
 
@@ -309,11 +348,7 @@ def make_train_step(
                 geom_batch = _slice_band(geom_batch, r0s, rows)
 
             def loss_fn(params):
-                grid = params_to_grid(params, density_softplus)
-                grid_sc = grid_to_sweep_layout(grid, axis)
-                enables = slice_enables(
-                    grid_sc, reverse, render_cfg.use_occupancy
-                )
+                grid_sc, enables = grid_and_enables(params)
                 total = 0.0
                 if view_batch:
                     inters = batched_inters(grid_sc, enables, geom_batch)
@@ -345,19 +380,16 @@ def make_train_step(
         row_off = (jax.lax.axis_index("data") * rows_local).astype(dtype)
 
         def loss_local(params):
-            grid = params_to_grid(params, density_softplus)
-            grid_sc = grid_to_sweep_layout(grid, axis)
-            enables = slice_enables(
-                grid_sc, reverse, render_cfg.use_occupancy
-            )
+            grid_sc, enables = grid_and_enables(params)
             total = 0.0
             if view_batch:
                 inters = batched_inters(
                     grid_sc, enables, geom_batch, extra_row_off=row_off
                 )
-                inters = jax.lax.all_gather(
-                    inters, "data", axis=1, tiled=True
-                )
+                inters = [
+                    jax.lax.all_gather(x, "data", axis=0, tiled=True)
+                    for x in inters
+                ]
                 for i in range(n_views):
                     geom_i = jax.tree.map(lambda a: a[i], geom_batch)
                     total = total + warp_loss(
@@ -727,6 +759,22 @@ def fit_grid(
         for k, v in groups.items()
     }
     group_keys = sorted(groups.keys())
+    # FUSED-SOFTPLUS layout-resident training: with softplus density
+    # the materialized per-step softplus + sweep-layout transpose (and
+    # their backward twins) are 4 full-grid HBM passes that the kernels
+    # can absorb per streamed slice (sweep_op ``softplus``). The whole
+    # training state (params + Adam moments) then lives IN the current
+    # group's sweep layout; group switches re-lay it out once per
+    # steps_per_call block (3 transposes amortized over K steps), so
+    # the mode needs K > 1 unless there is only one group.
+    import os as _os
+
+    fused = (
+        cfg.density_softplus
+        and not z_sharded
+        and _os.environ.get("TPUVR_FUSED_SOFTPLUS", "1") != "0"
+        and (max(int(cfg.steps_per_call), 1) > 1 or len(group_keys) == 1)
+    )
     steps_fns, rows_by_key = {}, {}
     for key in group_keys:
         idxs, stacked, band, warp_tiling = groups[key]
@@ -742,11 +790,38 @@ def fit_grid(
                 k_views, band, grid_shape, key[0], v_pv, n_u
             )
             kw["bwd_chunks"] = bwd_chunks
+            kw["kernel_softplus"] = fused
         steps_fns[key] = maker(
             key, k_views, opt, render_cfg, cfg.density_softplus, impl,
             mesh, grad_buckets=grad_buckets, band=band, rows=rows,
             warp_tiling=warp_tiling, prestage=True, **kw,
         )
+
+    # Layout movers for the fused mode: src/dst None = canonical
+    # (Z, Y, X, 4); an axis = that group's (S, 4, Y, X) sweep layout.
+    from tpuvr.ops.render import (
+        grid_to_sweep_layout as _to_sc,
+        sweep_layout_to_grid as _from_sc,
+    )
+
+    _rl_cache = {}
+
+    def relayout_state(params, opt_state, src, dst, donate=True):
+        if src == dst:
+            return params, opt_state
+        fkey = (src, dst, donate)
+        if fkey not in _rl_cache:
+            def f(tree):
+                def cv(x):
+                    if getattr(x, "ndim", 0) != 4:
+                        return x  # Adam count etc.
+                    g = _from_sc(x, src) if src is not None else x
+                    return _to_sc(g, dst) if dst is not None else g
+                return jax.tree.map(cv, tree)
+            _rl_cache[fkey] = jax.jit(
+                f, donate_argnums=(0,) if donate else ()
+            )
+        return _rl_cache[fkey]((params, opt_state))
 
     # The whole group's geometry/targets live on device once; each step
     # ships only (pick, r0s) and gathers the minibatch inside the jit
@@ -822,9 +897,20 @@ def fit_grid(
     # the block its start_step falls in (blk=0 would revisit groups —
     # and consume the per-block rng draws — in a different order).
     blk = start_step // K
+    cur_layout = None  # fused mode: axis whose sweep layout state is in
+
+    def ensure_layout(key):
+        nonlocal params, opt_state, cur_layout
+        if fused and cur_layout != key[0]:
+            params, opt_state = relayout_state(
+                params, opt_state, cur_layout, key[0]
+            )
+            cur_layout = key[0]
+
     while step_no < cfg.steps:
         if K == 1:
             key = group_keys[step_no % len(group_keys)]
+            ensure_layout(key)
             pick, r0s = draw(key)
             params, opt_state, loss = steps_fns[key](
                 params, opt_state, groups[key][1], targets_by_key[key],
@@ -836,6 +922,7 @@ def fit_grid(
             n_done = 1
         else:
             key = group_keys[blk % len(group_keys)]
+            ensure_layout(key)
             n_done = min(K, cfg.steps - step_no)
             picks, r0s_all = draw(key, size=n_done)
             params, opt_state, losses = scanned_step(key)(
@@ -852,14 +939,23 @@ def fit_grid(
             (next_step % cfg.ckpt_every) < n_done
             or next_step >= cfg.steps
         ):
+            # Checkpoints are always canonical (Z, Y, X, 4) so resume
+            # is layout-agnostic; non-donating copies in fused mode.
+            p_c, o_c = relayout_state(
+                params, opt_state, cur_layout, None, donate=False
+            ) if fused else (params, opt_state)
             ckpt.save(next_step - 1,
-                      {"params": params, "opt_state": opt_state})
+                      {"params": p_c, "opt_state": o_c})
         step_no = next_step
     if pending is not None:
         drain(pending)
     if ckpt is not None:
         ckpt.wait()
         ckpt.close()
+    if fused and cur_layout is not None:
+        params, opt_state = relayout_state(
+            params, opt_state, cur_layout, None
+        )
     grid = params_to_grid(params, cfg.density_softplus)
     return grid, params, history
 
