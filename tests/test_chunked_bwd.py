@@ -145,3 +145,28 @@ def test_fit_chunked_overlap_matches_baseline(tmp_path):
     np.testing.assert_allclose(runs[2][1], runs[1][1], rtol=2e-3,
                                atol=1e-7)
     np.testing.assert_allclose(runs[2][0], runs[1][0], atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_chunked_bwd_fused_softplus(impl):
+    """Slab chunking composes with the fused softplus transform: the
+    chunked raw-parameter gradient equals the single-call one (the
+    in-kernel sigmoid chain is per-slice, so chunk boundaries stay
+    invisible)."""
+    grid_sc, coeffs, enables, dt, d_rgb, d_t = _setup(seed=47)
+    raw = grid_sc - 0.3  # exercise negative raw densities too
+
+    def grad_of(op):
+        def loss(g):
+            rgb, t = op(g, coeffs, enables, dt)
+            return (jnp.sum(rgb * d_rgb) + jnp.sum(t * d_t))
+
+        return jax.grad(loss)(raw)
+
+    g1 = grad_of(sweep_op(False, 1.1, 0.0, impl, softplus=True))
+    for n_chunks in (2, 4):
+        gc = grad_of(sweep_op(False, 1.1, 0.0, impl, softplus=True,
+                              bwd_chunks=n_chunks))
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(g1),
+                                   atol=1e-5,
+                                   err_msg=f"chunks={n_chunks}")

@@ -108,3 +108,18 @@ def test_fused_fit_mesh_matches_materialized(tmp_path, monkeypatch):
         runs[flag] = (np.asarray(params), hist["loss"])
     np.testing.assert_allclose(runs["1"][1], runs["0"][1], rtol=2e-4)
     np.testing.assert_allclose(runs["1"][0], runs["0"][0], atol=2e-4)
+
+
+def test_render_views_grouped_matches_per_view():
+    """render_views_grouped (one program per view group, traced view
+    pick + row-block warp) must match the per-camera render_all_views."""
+    from tpuvr.io.synth import orbit_cameras, smoke_sphere
+    from tpuvr.train.fit import render_all_views, render_views_grouped
+
+    n = 32
+    grid = smoke_sphere(n)
+    cams = orbit_cameras(6, n, res=64)
+    cfg = RenderConfig(early_stop_eps=0.0, precision="highest")
+    a = np.asarray(render_all_views(grid, cams, cfg, impl="xla"))
+    b = np.asarray(render_views_grouped(grid, cams, cfg, impl="xla"))
+    np.testing.assert_allclose(b, a, atol=3e-6)

@@ -76,6 +76,10 @@ def main():
     groups = group_views(cams, (n, n, n, 4))
     key = max(groups, key=lambda k: len(groups[k][0]))
     idxs, stacked, band, tiling = groups[key]
+    from tpuvr.ops.warp import WarpTiling
+    # The decomposition probes drive warp_to_pixels_dynamic, which
+    # understands the (tiled | gather) tilings only.
+    probe_tiling = tiling if isinstance(tiling, WarpTiling) else None
     n_v, n_u = stacked["dt"].shape[1], stacked["dt"].shape[2]
     log(f"group {key}: {len(idxs)} views, intermediate {n_v}x{n_u}, "
         f"band {tuple(round(b, 3) for b in band)}, tiling {tiling}")
@@ -166,7 +170,8 @@ def main():
                     inter = jnp.transpose(
                         jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0))
                     img = warp_to_pixels_dynamic(
-                        inter, gi["lattice"], gi["uv"], tiling=tiling,
+                        inter, gi["lattice"], gi["uv"],
+                        tiling=probe_tiling,
                         vbase=gi.get("wvb"), ubase=gi.get("wub"))[..., :3]
                     tot = tot + jnp.mean((img - tg[i]) ** 2)
                 return tot / n_views
@@ -203,7 +208,8 @@ def main():
 
         def warp1_body(inter, _):
             img = warp_to_pixels_dynamic(
-                inter, geom1["lattice"], geom1["uv"], tiling=tiling,
+                inter, geom1["lattice"], geom1["uv"],
+                tiling=probe_tiling,
                 vbase=geom1.get("wvb"), ubase=geom1.get("wub"))
             return inter + jnp.mean(img) * 1e-30
 

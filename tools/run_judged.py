@@ -138,6 +138,8 @@ def _save_lit_png(jax, grid, cam, cfg, lcfg, impl, name):
 
 def cmd_c3(args):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvr_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from tpuvr.config import LightingConfig, RenderConfig
@@ -181,6 +183,8 @@ def cmd_c3(args):
 
 def cmd_c5(args):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvr_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from tpuvr.config import LightingConfig, RenderConfig
@@ -224,6 +228,8 @@ def cmd_c5(args):
 
 def cmd_c4(args):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvr_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from tpuvr.config import RenderConfig, TrainConfig
@@ -247,11 +253,14 @@ def cmd_c4(args):
                               precision=args.precision)
     target_cfg = RenderConfig(early_stop_eps=0.0, use_occupancy=True,
                               precision="highest")
-    from tpuvr.train.fit import render_all_views
+    from tpuvr.train.fit import render_views_grouped
 
-    targets = np.asarray(render_all_views(gt, cams, target_cfg, impl))
+    # One compiled program per view group (not per camera): 72 target
+    # renders would otherwise be 72 multi-minute remote compiles on
+    # this box's tunneled backend.
+    targets = np.asarray(render_views_grouped(gt, cams, target_cfg, impl))
     eval_targets = np.asarray(
-        render_all_views(gt, eval_cams, target_cfg, impl))
+        render_views_grouped(gt, eval_cams, target_cfg, impl))
 
     cfg = TrainConfig(lr=args.lr, steps=args.steps,
                       views_per_batch=args.views_per_batch,

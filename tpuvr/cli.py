@@ -21,12 +21,65 @@ import sys
 import time
 
 
-def _load_config(name: str, scale: float):
+def _load_config(name: str, scale: float, sets=None):
     import configs
 
     cfg = dict(configs.load(name))
     cfg["grid_n"] = max(8, int(cfg["grid_n"] * scale))
     cfg["res"] = max(8, int(cfg["res"] * scale))
+    return _apply_overrides(cfg, sets or [])
+
+
+def _apply_overrides(cfg, sets):
+    """Apply ``--set field=value`` overrides to the config dataclasses.
+
+    The field is looked up across the render / train / lighting /
+    mesh_cfg dataclasses (plus the top-level int keys grid_n / res /
+    n_views); values parse by the field's annotated type. Example:
+    ``--set ert_chunks=8 --set steps_per_call=16 --set grid_n=128``.
+    """
+    import dataclasses
+
+    for kv in sets:
+        key, _, raw = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects key=value, got {kv!r}")
+        if key in ("grid_n", "res", "n_views"):
+            cfg[key] = int(raw)
+            continue
+        for slot in ("render", "train", "lighting", "mesh_cfg"):
+            dc = cfg.get(slot)
+            if dc is None or not dataclasses.is_dataclass(dc):
+                continue
+            fields = {f.name: f for f in dataclasses.fields(dc)}
+            if key not in fields:
+                continue
+            cur = getattr(dc, key)
+            if raw in ("None", "none"):
+                val = None
+            elif isinstance(cur, bool):
+                val = raw.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                val = int(raw)
+            elif isinstance(cur, float):
+                val = float(raw)
+            else:
+                # None-defaulted Optional fields and strings: try int,
+                # then float, then keep the string.
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        val = raw
+            cfg[slot] = dataclasses.replace(dc, **{key: val})
+            break
+        else:
+            raise SystemExit(
+                f"--set: no config field named {key!r} in "
+                "render/train/lighting/mesh_cfg"
+            )
     return cfg
 
 
@@ -47,7 +100,7 @@ def cmd_render(args):
     from tpuvr.io.image import write_png
     from tpuvr.ops.render import render_view
 
-    cfg = _load_config(args.config, args.scale)
+    cfg = _load_config(args.config, args.scale, args.sets)
     grid, cam = _scene_and_camera(cfg)
     t0 = time.time()
     rgb, trans = render_view(
@@ -76,7 +129,7 @@ def cmd_turntable(args):
 
     import os
 
-    cfg = _load_config(args.config, args.scale)
+    cfg = _load_config(args.config, args.scale, args.sets)
     grid, _ = _scene_and_camera(cfg)
     cams = orbit_cameras(args.frames, cfg["grid_n"], res=cfg["res"])
     os.makedirs(args.out_dir, exist_ok=True)
@@ -102,7 +155,7 @@ def cmd_fit(args):
     from tpuvr.train.fit import evaluate_psnr, fit_grid, render_all_views
     from configs.common import smoke_scene
 
-    cfg = _load_config(args.config, args.scale)
+    cfg = _load_config(args.config, args.scale, args.sets)
     n = cfg["grid_n"]
     n_views = cfg.get("n_views", 16)
     tcfg = cfg["train"]
@@ -153,7 +206,7 @@ def cmd_bench(args):
     from tpuvr.bench.roofline import roofline_report
     from tpuvr.bench.sweep import scaling_table
 
-    cfg = _load_config(args.config, args.scale)
+    cfg = _load_config(args.config, args.scale, args.sets)
     grid, cam = _scene_and_camera(cfg)
     if args.profile:
         # Tracing/profiling subsystem (SURVEY.md §5): dump an xprof trace
@@ -231,6 +284,10 @@ def main(argv=None):
         sp.add_argument("--scale", type=float, default=1.0)
         sp.add_argument("--impl", default=None,
                         choices=[None, "pallas", "xla"])
+        sp.add_argument("--set", action="append", default=[],
+                        metavar="FIELD=VALUE", dest="sets",
+                        help="override any config dataclass field, "
+                             "e.g. --set ert_chunks=8")
 
     sp = sub.add_parser("render", help="render one view to PNG")
     common(sp)

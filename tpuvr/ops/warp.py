@@ -32,6 +32,7 @@ gather formulation is multiply associativity — ``(w_u * g) * w_v`` vs
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
@@ -254,3 +255,164 @@ def _tiles_jnp(arr, ty: int, tx: int):
 def warp_enabled() -> bool:
     """Escape hatch: TPUVR_WARP=gather restores the XLA-gather warp."""
     return os.environ.get("TPUVR_WARP", "tiled") != "gather"
+
+
+# ---------------------------------------------------------------------------
+# Row-block warp (Pallas): the training-path warp.
+# ---------------------------------------------------------------------------
+
+
+class RowWarpPlan(NamedTuple):
+    """Static plan for the Pallas tile warp (see tpuvr.kernels.warp):
+    output pixels are cut into (ty, tx) tiles; each tile reads an
+    ``(f_v, U)`` sublane window of the lattice at a per-(view, tile)
+    8-aligned origin — only the v side is windowed (the u side is a
+    full-width tent contraction: its FLOPs are negligible, and lane
+    windows would need Mosaic-hostile dynamic lane slicing)."""
+
+    ty: int
+    tx: int
+    f_v: int
+    res_y: int
+    res_x: int
+
+
+_ROW_WARP_CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    # row blocks (best when lattice rows track pixel rows) ...
+    (8, 0), (16, 0), (32, 0), (64, 0),
+    # ... and 2-D tiles for diagonal mappings (v varies along both
+    # pixel axes — e.g. the steep 45-degree-azimuth orbit groups).
+    (8, 128), (16, 64), (64, 16), (32, 32), (128, 8),
+)
+
+
+def plan_row_warp(pos_views, n_v: int, n_u: int,
+                  candidates: Sequence[Tuple[int, int]] = _ROW_WARP_CANDIDATES):
+    """Plan the Pallas tile warp for a view group.
+
+    ``pos_views``: list of (y_pos, x_pos) concrete (res_y, res_x)
+    position maps. Picks the pixel tile minimizing the v footprint F
+    (total MXU work is res^2 * U * F; ties prefer fewer tiles).
+    Returns ``(plan, vb (views, n_tiles) int32,
+    y_flat (views, n_tiles, P), x_flat (views, n_tiles, P))`` or None
+    when no candidate gives a sub-extent footprint (callers fall back
+    to the tiled XLA warp).
+    """
+    res_y, res_x = pos_views[0][0].shape
+    if n_v % 8:
+        return None
+    override = os.environ.get("TPUVR_WARP_ROWS")
+    if override:
+        ty, tx = (int(s) for s in override.split("x"))
+        candidates = ((ty, tx),)
+    best = None
+    for ty, tx in candidates:
+        tx = tx or res_x
+        if res_y % ty or res_x % tx:
+            continue
+        n_tiles = (res_y // ty) * (res_x // tx)
+        span = 0
+        for y_pos, _ in pos_views:
+            yb = _tiles(y_pos, ty, tx)
+            lo = np.floor(yb.min(axis=1))
+            hi = np.floor(yb.max(axis=1)) + 1
+            span = max(span, int((hi - lo).max()) + 1)
+        f_v = min(-(-(span + 7) // 8) * 8, n_v)
+        key = (f_v, n_tiles)
+        if best is None or key < best[0]:
+            best = (key, RowWarpPlan(ty, tx, f_v, res_y, res_x))
+    if best is None or best[1].f_v >= n_v:
+        return None
+    plan = best[1]
+    vbs, ys, xs = [], [], []
+    for y_pos, x_pos in pos_views:
+        yb = _tiles(y_pos, plan.ty, plan.tx)
+        lo = np.floor(yb.min(axis=1)).astype(np.int64)
+        vb = np.clip((lo // 8) * 8, 0, n_v - plan.f_v).astype(np.int32)
+        vbs.append(vb)
+        ys.append(yb.astype(np.float32))
+        xs.append(_tiles(x_pos, plan.ty, plan.tx).astype(np.float32))
+    return plan, np.stack(vbs), np.stack(ys), np.stack(xs)
+
+
+def row_warp_image(out, plan: RowWarpPlan):
+    """(C, n_tiles, P) kernel output -> (C, res_y, res_x) image."""
+    n_c = out.shape[0]
+    gy, gx = plan.res_y // plan.ty, plan.res_x // plan.tx
+    return (
+        out.reshape(n_c, gy, gx, plan.ty, plan.tx)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n_c, plan.res_y, plan.res_x)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("f_v",))
+def _warp_rows_xla(inter_cvu, y_t, x_t, vbase, *, f_v: int):
+    """jnp twin of the Pallas row-block warp (CPU test surface)."""
+    n_c, n_v, n_u = inter_cvu.shape
+    hp = jax.lax.Precision.HIGHEST
+
+    def block(vb, ys, xs):
+        foot = jax.lax.dynamic_slice(
+            inter_cvu, (jnp.zeros((), jnp.int32), vb,
+                        jnp.zeros((), jnp.int32)),
+            (n_c, f_v, n_u),
+        )
+        dtype = inter_cvu.dtype
+        tent_u = jnp.maximum(0.0, 1.0 - jnp.abs(
+            jnp.arange(n_u, dtype=dtype)[None, :] - xs[:, None]))
+        yr = ys - vb.astype(dtype)
+        tent_v = jnp.maximum(0.0, 1.0 - jnp.abs(
+            jnp.arange(f_v, dtype=dtype)[None, :] - yr[:, None]))
+        part = jnp.einsum("pu,cfu->cpf", tent_u, foot, precision=hp)
+        return jnp.einsum("pf,cpf->cp", tent_v, part, precision=hp)
+
+    out = jax.vmap(block, in_axes=(0, 0, 0), out_axes=1)(
+        vbase, y_t, x_t
+    )
+    return out  # (C, n_blocks, P)
+
+
+@functools.lru_cache(maxsize=None)
+def row_warp_op(f_v: int, impl: str, interpret: bool | None = None):
+    """Differentiable row-block warp: (inter (C,V,U), y_t, x_t, vb) ->
+    (C, n_blocks, P). Positions/origins are geometry (zero cotangents);
+    the backward is the exact transpose kernel."""
+    from tpuvr.kernels.warp import warp_rows_bwd, warp_rows_fwd
+
+    def fwd_fn(inter, y_t, x_t, vb):
+        if impl == "pallas":
+            return warp_rows_fwd(inter, y_t, x_t, vb, f_v=f_v,
+                                 interpret=interpret)
+        return _warp_rows_xla(inter, y_t, x_t, vb, f_v=f_v)
+
+    @jax.custom_vjp
+    def op(inter, y_t, x_t, vb):
+        return fwd_fn(inter, y_t, x_t, vb)
+
+    def op_fwd(inter, y_t, x_t, vb):
+        return fwd_fn(inter, y_t, x_t, vb), (
+            inter.shape, y_t, x_t, vb
+        )
+
+    def op_bwd(res, d_out):
+        shape, y_t, x_t, vb = res
+        n_c, n_v, n_u = shape
+        if impl == "pallas":
+            d_inter = warp_rows_bwd(d_out, y_t, x_t, vb, n_v, n_u,
+                                    f_v=f_v, interpret=interpret)
+        else:
+            # Transpose of the jnp twin via autodiff (CPU path). The
+            # zero primal must carry the cotangent's device-varying
+            # mesh axes under checked shard_map (a fresh jnp.zeros is
+            # invariant and fails the vjp type check).
+            zero = jnp.zeros(shape, d_out.dtype) + 0.0 * jnp.max(d_out)
+            _, pull = jax.vjp(
+                lambda g: _warp_rows_xla(g, y_t, x_t, vb, f_v=f_v), zero
+            )
+            (d_inter,) = pull(d_out)
+        zero_like = lambda x: jnp.zeros_like(x)
+        return (d_inter, zero_like(y_t), zero_like(x_t), zero_like(vb))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op

@@ -79,10 +79,13 @@ def group_views(cams, grid_shape, dtype=jnp.float32,
     measured FASTER than a 32-tile tier at the c4 config) form their
     own dense-batched class.
     """
+    import os
+
     from tpuvr.kernels.sweep import band_tiles
     from tpuvr.ops.warp import (
         lattice_positions,
         plan_group_warp_tiling,
+        plan_row_warp,
         warp_enabled,
     )
     from tpuvr.ref.march import GRID_PERM
@@ -118,14 +121,36 @@ def group_views(cams, grid_shape, dtype=jnp.float32,
                     np.asarray(g["uv"]), n_vu[0], n_vu[1],
                 )
                 pos_views.append((y_pos, x_pos))
-            planned = plan_group_warp_tiling(
-                pos_views, n_vu[0], n_vu[1]
-            )
-            if planned is not None:
-                tiling, wvb, wub = planned
-                for g, vb, ub in zip(geoms, wvb, wub):
-                    g["wvb"] = jnp.asarray(vb)
-                    g["wub"] = jnp.asarray(ub)
+            # TPUVR_WARP=rows selects the Pallas tile-warp kernel
+            # (tpuvr.kernels.warp): traced per-view footprint origins
+            # ride SMEM scalar windows in one pipelined kernel instead
+            # of an XLA while loop of dynamic slices. MEASURED SLOWER
+            # at the judged c4 shape (21.3 vs 18.5 ms/step, 2026-08-20
+            # — the 64 small per-tile grid steps of the steep groups
+            # cost more than the XLA while loop they replace), so the
+            # tiled warp stays the default; the kernel remains
+            # available and tested for shapes with row-coherent
+            # lattices (row blocks, f_v ~ 16).
+            planned_rows = None
+            if os.environ.get("TPUVR_WARP", "tiled") == "rows":
+                planned_rows = plan_row_warp(
+                    pos_views, n_vu[0], n_vu[1]
+                )
+            if planned_rows is not None:
+                tiling, rvb, ry, rx = planned_rows
+                for g, vb, yy, xx in zip(geoms, rvb, ry, rx):
+                    g["rwvb"] = jnp.asarray(vb)
+                    g["rwy"] = jnp.asarray(yy)
+                    g["rwx"] = jnp.asarray(xx)
+            else:
+                planned = plan_group_warp_tiling(
+                    pos_views, n_vu[0], n_vu[1]
+                )
+                if planned is not None:
+                    tiling, wvb, wub = planned
+                    for g, vb, ub in zip(geoms, wvb, wub):
+                        g["wvb"] = jnp.asarray(vb)
+                        g["wub"] = jnp.asarray(ub)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *geoms)
         out[key] = (idxs, stacked, band, tiling)
     return out
@@ -242,6 +267,7 @@ def make_train_step(
     )
     from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
     from tpuvr.ops.vjp import resolve_impl, sweep_op
+    from tpuvr.ops.warp import RowWarpPlan, row_warp_image, row_warp_op
 
     axis, reverse = key[0], key[1]
     chunked = mesh is not None and bwd_chunks > 1
@@ -267,6 +293,14 @@ def make_train_step(
         )
         return grid_sc, enables
 
+    # Row-block Pallas warp (see group_views): the full-rows loss runs
+    # channels-first end to end — no (V, U, 4) transpose anywhere.
+    row_op = (
+        row_warp_op(warp_tiling.f_v, resolve_impl(impl))
+        if isinstance(warp_tiling, RowWarpPlan) and rows is None
+        else None
+    )
+
     def finalize(step_batch):
         if not prestage:
             return jax.jit(step_batch, donate_argnums=(0, 1))
@@ -280,8 +314,18 @@ def make_train_step(
         return jax.jit(step_pick, donate_argnums=(0, 1))
 
     def warp_loss(inter, geom_i, target, r0):
-        """Pixel warp + masked image MSE from an intermediate image."""
+        """Pixel warp + masked image MSE from an intermediate image.
+
+        Row-warp mode: ``inter`` is channels-first (4, V, U) and the
+        loss compares channels-first images (one small target
+        transpose instead of an 8 MB lattice transpose per view)."""
         if rows is None:
+            if row_op is not None:
+                out = row_op(inter, geom_i["rwy"], geom_i["rwx"],
+                             geom_i["rwvb"])
+                img3 = row_warp_image(out[:3], warp_tiling)
+                t_cf = jnp.transpose(target, (2, 0, 1))
+                return jnp.mean((img3 - t_cf) ** 2)
             img = warp_to_pixels_dynamic(
                 inter, geom_i["lattice"], geom_i["uv"],
                 tiling=warp_tiling, vbase=geom_i.get("wvb"),
@@ -303,11 +347,20 @@ def make_train_step(
         if "valid" in geom_i:
             enables = enables * geom_i["valid"]
         rgb_t, t_t = op(grid_sc, (ay, by, ax, bx), enables, geom_i["dt"])
-        inter = jnp.transpose(
-            jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0)
-        )
-        if extra_row_off is not None:
-            inter = jax.lax.all_gather(inter, "data", axis=0, tiled=True)
+        if row_op is not None:
+            inter = jnp.concatenate([rgb_t, t_t[None]], 0)  # (4, V, U)
+            if extra_row_off is not None:
+                inter = jax.lax.all_gather(
+                    inter, "data", axis=1, tiled=True
+                )
+        else:
+            inter = jnp.transpose(
+                jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0)
+            )
+            if extra_row_off is not None:
+                inter = jax.lax.all_gather(
+                    inter, "data", axis=0, tiled=True
+                )
         return warp_loss(inter, geom_i, target, r0)
 
     def batched_inters(grid_sc, enables, geom_batch, extra_row_off=None):
@@ -335,10 +388,15 @@ def make_train_step(
         outs = []
         for i in range(k):
             vs = slice(i * v_pv, (i + 1) * v_pv)
-            outs.append(jnp.transpose(
-                jnp.concatenate([rgb_t[:, vs], t_t[vs][None]], 0),
-                (1, 2, 0),
-            ))
+            if row_op is not None:
+                outs.append(jnp.concatenate(
+                    [rgb_t[:, vs], t_t[vs][None]], 0
+                ))
+            else:
+                outs.append(jnp.transpose(
+                    jnp.concatenate([rgb_t[:, vs], t_t[vs][None]], 0),
+                    (1, 2, 0),
+                ))
         return outs
 
     if mesh is None:
@@ -386,8 +444,10 @@ def make_train_step(
                 inters = batched_inters(
                     grid_sc, enables, geom_batch, extra_row_off=row_off
                 )
+                gather_axis = 1 if row_op is not None else 0
                 inters = [
-                    jax.lax.all_gather(x, "data", axis=0, tiled=True)
+                    jax.lax.all_gather(x, "data", axis=gather_axis,
+                                       tiled=True)
                     for x in inters
                 ]
                 for i in range(n_views):
@@ -969,6 +1029,68 @@ def render_all_views(grid, cams, render_cfg=RenderConfig(), impl=None):
     )
 
 
+def render_views_grouped(grid, cams, render_cfg=RenderConfig(),
+                         impl=None):
+    """Render every camera with ONE compiled program per view group.
+
+    ``render_all_views`` traces a fresh program per camera (the camera
+    is static); for a 64-view orbit on a remote-compile backend that is
+    64 multi-minute compiles. Here the per-view geometry is DATA (the
+    training-path representation): one jitted render per (axis,
+    reverse, tiles) group takes the stacked geometry and a traced view
+    pick — 2-4 compiles for a full orbit. Returns (N, H, W, 3).
+    """
+    from tpuvr.ops.geometry import warp_to_pixels_dynamic
+    from tpuvr.ops.render import grid_to_sweep_layout, slice_enables
+    from tpuvr.ops.vjp import resolve_impl, sweep_op
+    from tpuvr.ops.warp import RowWarpPlan, row_warp_image, row_warp_op
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        groups = group_views(cams, grid.shape)
+    out = [None] * len(cams)
+    for key, (idxs, stacked, band, tiling) in groups.items():
+        axis, reverse = key[0], key[1]
+        stacked = jax.device_put(stacked)
+        op = sweep_op(
+            reverse, render_cfg.sigma_scale, render_cfg.early_stop_eps,
+            resolve_impl(impl), render_cfg.precision, band=band,
+        )
+        row_op = (row_warp_op(tiling.f_v, resolve_impl(impl))
+                  if isinstance(tiling, RowWarpPlan) else None)
+
+        @jax.jit
+        def render_one(grid, pick, stacked=stacked, axis=axis,
+                       reverse=reverse, op=op, row_op=row_op,
+                       tiling=tiling):
+            geom_i = jax.tree.map(lambda a: a[pick], stacked)
+            grid_sc = grid_to_sweep_layout(grid, axis)
+            enables = slice_enables(
+                grid_sc, reverse, render_cfg.use_occupancy
+            )
+            if "valid" in geom_i:
+                enables = enables * geom_i["valid"]
+            c = geom_i["coeffs"]
+            rgb_t, t_t = op(grid_sc, (c[0], c[1], c[2], c[3]), enables,
+                            geom_i["dt"])
+            if row_op is not None:
+                inter = jnp.concatenate([rgb_t, t_t[None]], 0)
+                img = row_op(inter, geom_i["rwy"], geom_i["rwx"],
+                             geom_i["rwvb"])
+                img = row_warp_image(img[:3], tiling)
+                return jnp.transpose(img, (1, 2, 0))
+            inter = jnp.transpose(
+                jnp.concatenate([rgb_t, t_t[None]], 0), (1, 2, 0)
+            )
+            return warp_to_pixels_dynamic(
+                inter, geom_i["lattice"], geom_i["uv"], tiling=tiling,
+                vbase=geom_i.get("wvb"), ubase=geom_i.get("wub"),
+            )[..., :3]
+
+        for j, i in enumerate(idxs):
+            out[i] = render_one(grid, jnp.asarray(j, jnp.int32))
+    return jnp.stack(out)
+
+
 def evaluate_psnr(grid, cams, targets, render_cfg=RenderConfig(), impl=None):
-    preds = render_all_views(grid, cams, render_cfg, impl)
+    preds = render_views_grouped(grid, cams, render_cfg, impl)
     return float(psnr(preds, jnp.asarray(targets)))
