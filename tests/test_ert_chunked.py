@@ -90,3 +90,59 @@ def test_ert_chunks_must_divide():
     cfg = RenderConfig(early_stop_eps=1e-4, ert_chunks=5)
     with pytest.raises(ValueError, match="ert_chunks"):
         render_view(grid, _cams()[0], cfg, impl="xla")
+
+
+def test_future_coverage_gate_fires_with_background_rays():
+    """The liveness gate must go dead on an opaque scene even when
+    background rays (which miss the volume and keep trans = 1 forever)
+    are present — the regime where the unmasked ``max(trans)`` gate
+    measured 0.45x (pure chunking overhead, bench r4)."""
+    from tpuvr.ops.geometry import (
+        band_bounds, plan_sweep, plan_valid_mask, ray_dt, slice_coeffs,
+    )
+    from tpuvr.ops.vjp import _future_coverage_masks, sweep_op
+    from tpuvr.ref.camera import dominant_axis
+    from tpuvr.ref.march import GRID_PERM
+
+    eps = 1e-3
+    fog = jnp.full((N, N, N, 4), 0.5, jnp.float32)
+    cam = _cams()[0]  # ortho, width 1.4*N: corner rays miss the volume
+    axis = dominant_axis(cam)
+    grid_sc = jnp.transpose(fog, GRID_PERM[axis])
+    plan, _ = plan_sweep(cam, fog.shape[:3], axis)
+    coeffs = slice_coeffs(plan, jnp.float32)
+    dt_map = ray_dt(plan, jnp.float32)
+    enables = jnp.ones((grid_sc.shape[0],), jnp.float32)
+    enables = enables * plan_valid_mask(plan, jnp.float32)
+
+    n_chunks = 4
+    sc = grid_sc.shape[0] // n_chunks
+    masks = _future_coverage_masks(
+        coeffs, enables, dt_map.shape[0], dt_map.shape[1],
+        grid_sc.shape[2], grid_sc.shape[3], sc, n_chunks,
+    )
+    # Background rays exist and are uncovered by every later slab.
+    assert not bool(masks[0].all())
+
+    # Transmittance after chunk 0 alone (sigma_scale=8 saturates the
+    # covered rays inside the first slab).
+    op = sweep_op(plan.reverse, 8.0, eps, "xla", "highest",
+                  band=band_bounds(plan))
+    g_lo = grid_sc.shape[0] - sc if plan.reverse else 0
+    _, trans0 = op(grid_sc[g_lo:g_lo + sc],
+                   tuple(c[..., :sc] for c in coeffs),
+                   enables[..., :sc], dt_map)
+    # Unmasked gate would keep every remaining slab live ...
+    assert float(jnp.max(trans0)) >= eps
+    # ... the coverage-masked gate goes dead after the first slab.
+    assert float(jnp.max(jnp.where(masks[0], trans0, 0))) < eps
+
+    # And the skipping path stays within the ERT error bound.
+    exact = RenderConfig(early_stop_eps=0.0, precision="highest",
+                         sigma_scale=8.0)
+    chunked = RenderConfig(early_stop_eps=eps, precision="highest",
+                           sigma_scale=8.0, ert_chunks=n_chunks)
+    r0, t0 = render_view(fog, cam, exact, impl="xla")
+    r1, t1 = render_view(fog, cam, chunked, impl="xla")
+    assert float(jnp.max(jnp.abs(r1 - r0))) < 5.0 * eps
+    assert float(jnp.max(jnp.abs(t1 - t0))) < eps

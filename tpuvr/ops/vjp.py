@@ -245,12 +245,26 @@ def ert_chunked_sweep(op, grid_sc, coeffs, enables, dt_map, n_chunks,
     exactly zero, matching the ERT error bound).
 
     Slabs follow traversal order, as in the chunked backward.
+
+    The liveness gate is masked by *future coverage*: a ray whose
+    remaining slabs can never touch it (its slice positions fall
+    outside every remaining interp support — e.g. background pixels
+    whose rays miss the volume entirely) is exactly unaffected by
+    those slabs, so it must not hold them live. Without the mask,
+    ``max(trans)`` pins at 1.0 on any frame with background pixels and
+    no slab ever skips (measured: 0.45x on the opaque-fog bench scene,
+    pure chunking overhead); with it, the gate reduces to the rays the
+    remaining slabs can actually reach.
     """
     s = grid_sc.shape[0]
     if s % n_chunks:
         raise ValueError(f"ert_chunks {n_chunks} must divide slices {s}")
     sc = s // n_chunks
     n_v, n_u = dt_map.shape
+    n_y, n_x = grid_sc.shape[2], grid_sc.shape[3]
+    masks = _future_coverage_masks(
+        coeffs, enables, n_v, n_u, n_y, n_x, sc, n_chunks
+    )
     dtype = grid_sc.dtype
     rgb = jnp.zeros((3, n_v, n_u), dtype)
     trans = jnp.ones((n_v, n_u), dtype)
@@ -270,11 +284,49 @@ def ert_chunked_sweep(op, grid_sc, coeffs, enables, dt_map, n_chunks,
         if g == 0:
             rgb, trans = run((rgb, trans))
             continue
-        live = jnp.max(trans) >= eps
+        live = jnp.max(jnp.where(masks[g - 1], trans, 0)) >= eps
         rgb, trans = jax.lax.cond(
             live, run, lambda carry: carry, (rgb, trans)
         )
     return rgb, trans
+
+
+def _future_coverage_masks(coeffs, enables, n_v, n_u, n_y, n_x, sc,
+                           n_chunks):
+    """Per-boundary (V, U) masks: can any remaining slab touch this ray?
+
+    Ray row ``i`` takes nonzero interp weight from traversal step ``k``
+    iff its slice position ``i*ay[k] + by[k]`` lies inside the tent
+    support ``(-1, n_y)`` (see ``_interp_matrices``), and likewise for
+    columns; a step with ``enables[k] == 0`` contributes exactly zero.
+    The separable OR over remaining steps — ``cov_v[i] & cov_u[j]`` —
+    is a conservative superset of true coverage (it may keep a ray
+    live whose valid-v and valid-u steps differ), so gating liveness
+    on ``mask & (trans >= eps)`` preserves the whole-frame ERT error
+    bound exactly: every masked-out ray receives zero contribution
+    from every remaining slab.
+
+    Returns ``n_chunks - 1`` boolean masks; entry ``g-1`` guards the
+    cond before chunk ``g``. O(s * (V + U)) bools — negligible next to
+    one slab's resample.
+    """
+    ay, by, ax, bx = (jnp.asarray(c, jnp.float32) for c in coeffs)
+    i = jnp.arange(n_v, dtype=jnp.float32)[:, None]
+    pos_v = i * ay[None, :] + by[None, :]            # (V, s)
+    j = jnp.arange(n_u, dtype=jnp.float32)[:, None]
+    pos_u = j * ax[None, :] + bx[None, :]            # (U, s)
+    valid_v = (pos_v > -1.0) & (pos_v < n_y)
+    valid_u = (pos_u > -1.0) & (pos_u < n_x)
+    if enables is not None and enables.ndim == 1:
+        en = (enables > 0)[None, :]
+        valid_v &= en
+        valid_u &= en
+    masks = []
+    for g in range(1, n_chunks):
+        cov_v = valid_v[:, g * sc:].any(axis=1)
+        cov_u = valid_u[:, g * sc:].any(axis=1)
+        masks.append(cov_v[:, None] & cov_u[None, :])
+    return masks
 
 
 def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
