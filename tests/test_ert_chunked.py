@@ -92,6 +92,59 @@ def test_ert_chunks_must_divide():
         render_view(grid, _cams()[0], cfg, impl="xla")
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_future_coverage_mask_consistent_with_kernel_tents(dtype):
+    """ADVICE r4 medium: a ray the f32 mask marks uncovered must carry
+    EXACTLY zero tent weight as the kernels build it — for every compute
+    dtype. Before the fix the kernels evaluated positions in the compute
+    dtype, so with bf16 grids row indices past 256 rounded by O(1) and a
+    masked-out ray could take weight up to 1.0 (reproduced upstream:
+    8/200 coeff draws). The kernels now do position arithmetic in f32
+    and cast only the finished weights (sweep._interp_matrices), making
+    this exact for bf16 too. This is a direct property test because
+    XLA:CPU cannot execute bf16 dots (so a full bf16 render cannot run
+    in the CPU lane); tests/test_tpu_onchip.py covers compiled bf16
+    end-to-end."""
+    from tpuvr.kernels.sweep import _interp_matrices
+    from tpuvr.ops.vjp import _future_coverage_masks
+
+    rng = np.random.default_rng(7)
+    n_v = n_u = 384          # past 256: the bf16 position-rounding regime
+    n_y = n_x = 384
+    s, n_chunks = 8, 4
+    sc = s // n_chunks
+    for _ in range(50):
+        ay = jnp.asarray(rng.uniform(-1.5, 1.5, s), jnp.float32)
+        by = jnp.asarray(rng.uniform(-2 * n_y, 2 * n_y, s), jnp.float32)
+        ax = jnp.asarray(rng.uniform(-1.5, 1.5, s), jnp.float32)
+        bx = jnp.asarray(rng.uniform(-2 * n_x, 2 * n_x, s), jnp.float32)
+        masks = _future_coverage_masks(
+            (ay, by, ax, bx), None, n_v, n_u, n_y, n_x, sc, n_chunks,
+        )
+        for g in range(1, n_chunks):
+            mask = np.asarray(masks[g - 1])           # (V, U) covered?
+            for k in range(g * sc, s):
+                mat_a, mat_b = _interp_matrices(
+                    ay[k], by[k], ax[k], bx[k], n_v, n_y, n_x, n_u,
+                    dtype,
+                )
+                w_v = np.asarray(mat_a.astype(jnp.float32)).max(axis=1)
+                w_u = np.asarray(mat_b.astype(jnp.float32)).max(axis=0)
+                w = w_v[:, None] * w_u[None, :]       # (V, U) weight bound
+                assert float(w[~mask].max(initial=0.0)) == 0.0, (g, k)
+
+
+def test_future_coverage_masks_reject_2d():
+    """ADVICE r4 low: multi-view (2-D) coeffs must fail loudly, not
+    silently mis-broadcast the separable coverage OR."""
+    from tpuvr.ops.vjp import _future_coverage_masks
+
+    c2 = jnp.ones((2, 8), jnp.float32)
+    with pytest.raises(ValueError, match="single-view"):
+        _future_coverage_masks((c2, c2, c2, c2), None, 16, 16, 16, 16,
+                               2, 4)
+
+
 def test_future_coverage_gate_fires_with_background_rays():
     """The liveness gate must go dead on an opaque scene even when
     background rays (which miss the volume and keep trans = 1 forever)

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuvr.kernels._compat import out_struct, use_interpret
 from tpuvr.kernels.sweep import (
     _TILE,
+    _att_exp,
     _band_window,
     _interp_matrices,
     _sigmoid,
@@ -127,7 +128,7 @@ def _sweep_bwd_kernel(
             sig_raw = resample(0)
             sigma = jnp.maximum(sig_raw, 0.0) * en
             dt = dt_ref[...]
-            att = jnp.exp(-(sigma_scale * sigma) * dt)
+            att = _att_exp((sigma_scale * sigma) * dt, precision)
             trans = trans_ref[...]
             w = trans * (1.0 - att)      # weight of this slice's emission
 
@@ -231,18 +232,23 @@ def _sweep_bwd_dbatch_kernel(
 
     @pl.when(live)
     def _block():
+        # Position arithmetic in f32 regardless of compute dtype; only
+        # the tent weights are cast (see sweep._interp_matrices).
+        f32 = jnp.float32
         yy = jax.lax.broadcasted_iota(
-            jnp.int32, (n_v, n_y), 1).astype(dtype)
+            jnp.int32, (n_v, n_y), 1).astype(f32)
         ju = jax.lax.broadcasted_iota(
-            jnp.int32, (n_x, n_u), 1).astype(dtype)
+            jnp.int32, (n_x, n_u), 1).astype(f32)
         xx = jax.lax.broadcasted_iota(
-            jnp.int32, (n_x, n_u), 0).astype(dtype)
+            jnp.int32, (n_x, n_u), 0).astype(f32)
 
         def slice_body(b):
             k = step * block + b
             i_sl = block - 1 - b if reverse else b
-            pos = pos_ref[b, 0]
-            mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - yy))
+            pos = pos_ref[b, 0].astype(f32)
+            mat_a = jnp.maximum(
+                0.0, 1.0 - jnp.abs(pos[:, None] - yy)
+            ).astype(dtype)
             sl = slice_ref[i_sl]
             for c in range(4):
                 src = sl[c]
@@ -253,8 +259,9 @@ def _sweep_bwd_dbatch_kernel(
             def view_body(w):
                 mat_b = jnp.maximum(
                     0.0,
-                    1.0 - jnp.abs(ju * ax_ref[k, w] + bx_ref[k, w] - xx),
-                )
+                    1.0 - jnp.abs(ju * ax_ref[k, w].astype(f32)
+                                  + bx_ref[k, w].astype(f32) - xx),
+                ).astype(dtype)
                 vs = slice(w * v_pv, (w + 1) * v_pv)
 
                 def resample(c):
@@ -264,7 +271,7 @@ def _sweep_bwd_dbatch_kernel(
                 sig_raw = resample(0)
                 sigma = jnp.maximum(sig_raw, 0.0)
                 dt = dt_ref[vs]
-                att = jnp.exp(-(sigma_scale * sigma) * dt)
+                att = _att_exp((sigma_scale * sigma) * dt, precision)
                 trans = trans_ref[vs]
                 wgt = trans * (1.0 - att)
                 q = q_ref[vs]
@@ -406,14 +413,17 @@ def _sweep_bwd_banded_kernel(
 
     @pl.when(live)
     def _block():
+        # Position arithmetic in f32 regardless of compute dtype; only
+        # the tent weights are cast (see sweep._interp_matrices).
+        f32 = jnp.float32
         ia = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_v, t), 0).astype(dtype)
+            jnp.int32, (tile_v, t), 0).astype(f32)
         ja = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_v, t), 1).astype(dtype)
+            jnp.int32, (tile_v, t), 1).astype(f32)
         jb = jax.lax.broadcasted_iota(
-            jnp.int32, (t, tile_u), 0).astype(dtype)
+            jnp.int32, (t, tile_u), 0).astype(f32)
         ib = jax.lax.broadcasted_iota(
-            jnp.int32, (t, tile_u), 1).astype(dtype)
+            jnp.int32, (t, tile_u), 1).astype(f32)
 
         def slice_body(b):
             k = step * block + b
@@ -428,13 +438,15 @@ def _sweep_bwd_banded_kernel(
                 return enable_ref[k, vt] * acc > 0.0
 
             def row_stage(vt):
-                ay, by = ay_ref[k, vt], by_ref[k, vt]
+                ay, by = ay_ref[k, vt].astype(f32), by_ref[k, vt].astype(f32)
                 v0 = vt * tile_v
                 f0 = v0 * ay + by
                 r0, boff = _band_window(
-                    f0, f0 + (tile_v - 1) * ay, n_y, dtype
+                    f0, f0 + (tile_v - 1) * ay, n_y, f32
                 )
-                mat_a = jnp.maximum(0.0, 1.0 - jnp.abs(ia * ay + boff - ja))
+                mat_a = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ia * ay + boff - ja)
+                ).astype(dtype)
                 for c in range(4):
                     src = slice_ref[i_sl, c, pl.ds(r0, t), :]
                     if softplus and c == 0:
@@ -446,16 +458,16 @@ def _sweep_bwd_banded_kernel(
                     )
 
             def tile_stage(vt, ut):
-                ax, bx = ax_ref[k, vt], bx_ref[k, vt]
+                ax, bx = ax_ref[k, vt].astype(f32), bx_ref[k, vt].astype(f32)
                 en = enable_ref[k, vt]
                 v0, u0 = vt * tile_v, ut * tile_u
                 g0 = u0 * ax + bx
                 c0, coff = _band_window(
-                    g0, g0 + (tile_u - 1) * ax, n_x, dtype
+                    g0, g0 + (tile_u - 1) * ax, n_x, f32
                 )
                 mat_b = jnp.maximum(
                     0.0, 1.0 - jnp.abs(ib * ax + coff - jb)
-                )
+                ).astype(dtype)
 
                 def resample(c):
                     return sweep_dot(
@@ -468,7 +480,7 @@ def _sweep_bwd_banded_kernel(
                 sig_raw = resample(0)
                 sigma = jnp.maximum(sig_raw, 0.0) * en
                 dt = dt_ref[vs, us]
-                att = jnp.exp(-(sigma_scale * sigma) * dt)
+                att = _att_exp((sigma_scale * sigma) * dt, precision)
                 trans = trans_ref[vs, us]
                 w = trans * (1.0 - att)
                 q = q_ref[vs, us]
@@ -533,15 +545,16 @@ def _sweep_bwd_banded_kernel(
                             else d_c_ref[g - 1, s[0], s[1]] * w_ref[s])
 
                 def accum_rows(vt):
-                    ay, by = ay_ref[k, vt], by_ref[k, vt]
+                    ay = ay_ref[k, vt].astype(f32)
+                    by = by_ref[k, vt].astype(f32)
                     v0 = vt * tile_v
                     f0 = v0 * ay + by
                     r0, boff = _band_window(
-                        f0, f0 + (tile_v - 1) * ay, n_y, dtype
+                        f0, f0 + (tile_v - 1) * ay, n_y, f32
                     )
                     mat_a = jnp.maximum(
                         0.0, 1.0 - jnp.abs(ia * ay + boff - ja)
-                    )
+                    ).astype(dtype)
                     p_ref[pl.ds(r0, t), :] += sweep_dot(
                         mat_a, d_rows(v0), precision, dtype,
                         dims=(((0,), (0,)), ((), ())),
@@ -575,8 +588,10 @@ def _sweep_bwd_banded_kernel(
                     # This view's u-side operator scalars (uniform
                     # across its v-tiles).
                     vt0 = w_i * vt_pv
-                    ay, by = ay_ref[k, vt0], by_ref[k, vt0]
-                    ax, bx = ax_ref[k, vt0], bx_ref[k, vt0]
+                    ay, by = (ay_ref[k, vt0].astype(f32),
+                              by_ref[k, vt0].astype(f32))
+                    ax, bx = (ax_ref[k, vt0].astype(f32),
+                              bx_ref[k, vt0].astype(f32))
                     if w_u >= n_u:
                         # Dense u-side: one (Y,U)@(U,X) via B^T.
                         mat_b = _interp_matrices(
@@ -619,17 +634,18 @@ def _sweep_bwd_banded_kernel(
                         ).astype(jnp.int32)
                         u0w = (u0w // 8) * 8
                         # B_w[j, x'] = w((u0w+j)*ax + bx - (x0+x')).
+                        # Positions in f32 (see sweep._interp_matrices).
                         jw = jax.lax.broadcasted_iota(
                             jnp.int32, (w_u, t), 0
-                        ).astype(dtype)
+                        ).astype(f32)
                         xx = jax.lax.broadcasted_iota(
                             jnp.int32, (w_u, t), 1
-                        ).astype(dtype)
-                        off = u0w.astype(dtype) * ax + bx - x0
+                        ).astype(f32)
+                        off = u0w.astype(f32) * ax + bx - x0
                         gtile = sweep_dot(
                             pt_ref[pl.ds(u0w, w_u), :], jnp.maximum(
                                 0.0, 1.0 - jnp.abs(jw * ax + off - xx)
-                            ),
+                            ).astype(dtype),
                             precision, dtype,
                             dims=(((0,), (0,)), ((), ())),
                         )  # (Y, t): lhs free dim Y, rhs free dim t

@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpuvr.kernels.sweep import _interp_matrices, sweep_dot
+from tpuvr.kernels.sweep import _att_exp, _interp_matrices, sweep_dot
 
 
 def _traversal(grid_sc, coeffs, enables, reverse):
@@ -87,7 +87,7 @@ def sweep_fwd_xla(
         smp, _, _ = _resample(sl, ayk, byk, axk, bxk, n_v, n_u, dtype,
                               precision)
         sigma = jnp.maximum(smp[:, 0, :], 0.0)
-        att = jnp.exp(-(sigma_scale * sigma) * dt_map)
+        att = _att_exp((sigma_scale * sigma) * dt_map, precision)
         att = jnp.where(go, att, 1.0)
         w = trans * (1.0 - att)
         rgb = rgb + w[None] * jnp.moveaxis(smp[:, 1:4, :], 1, 0)
@@ -153,7 +153,7 @@ def sweep_bwd_xla(
         )
         sig_raw = smp[:, 0, :]
         sigma = jnp.maximum(sig_raw, 0.0)
-        att = jnp.exp(-(sigma_scale * sigma) * dt_map)
+        att = _att_exp((sigma_scale * sigma) * dt_map, precision)
         att = jnp.where(go, att, 1.0)
         w = trans * (1.0 - att)
 

@@ -309,15 +309,31 @@ def _future_coverage_masks(coeffs, enables, n_v, n_u, n_y, n_x, sc,
     Returns ``n_chunks - 1`` boolean masks; entry ``g-1`` guards the
     cond before chunk ``g``. O(s * (V + U)) bools — negligible next to
     one slab's resample.
+
+    Dtype note (ADVICE r4 medium): the mask's f32 position arithmetic
+    matches the kernels for EVERY compute dtype because the kernels
+    also evaluate tent positions in f32 and cast only the finished
+    weights (see tpuvr.kernels.sweep._interp_matrices) — with bf16
+    grids a bf16-positioned tent could carry O(1) weight on a ray the
+    f32 mask marks uncovered. Exercised by the bf16 gate test in
+    tests/test_ert_chunked.py.
     """
     ay, by, ax, bx = (jnp.asarray(c, jnp.float32) for c in coeffs)
+    if ay.ndim != 1 or (enables is not None and enables.ndim != 1):
+        # Multi-view (2-D) batches would silently mis-broadcast the
+        # separable coverage OR below; fail loudly instead (ADVICE r4).
+        raise ValueError(
+            "ert_chunked_sweep supports single-view (1-D) coeffs/enables "
+            f"only; got coeffs ndim {ay.ndim}"
+            + ("" if enables is None else f", enables ndim {enables.ndim}")
+        )
     i = jnp.arange(n_v, dtype=jnp.float32)[:, None]
     pos_v = i * ay[None, :] + by[None, :]            # (V, s)
     j = jnp.arange(n_u, dtype=jnp.float32)[:, None]
     pos_u = j * ax[None, :] + bx[None, :]            # (U, s)
     valid_v = (pos_v > -1.0) & (pos_v < n_y)
     valid_u = (pos_u > -1.0) & (pos_u < n_x)
-    if enables is not None and enables.ndim == 1:
+    if enables is not None:
         en = (enables > 0)[None, :]
         valid_v &= en
         valid_u &= en
