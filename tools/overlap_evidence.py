@@ -29,6 +29,20 @@ Findings (round 3, 2026-08-19, this container's libtpu):
     efficiency at 2 v5p chips); the structural prerequisite (chunked
     grads + interleaved collectives) is built and verified here, the
     async emission is a compiler limitation tracked as the residual.
+
+Findings (round 5, 2026-08-21): the residual is CLOSED by the
+IN-KERNEL RDMA RING backward (kernels/ring_bwd.py, MeshConfig
+.grad_ring): the whole chunked backward is ONE pallas_call whose grid
+marches every slice and ring-reduces each finished slab's gradient
+with pltpu.make_async_remote_copy DMAs issued between its own grid
+steps. This tool's ring variant AOT-compiles that step for v5e:2x4:
+the schedule's grad all-reduce count drops 9 -> 0 (the single
+remaining psum is the O(1) scalar loss) — the collective, and its
+overlap with backward compute, live inside the kernel where XLA's
+synchronous-collective limitation cannot reach it. Reduction
+correctness is pinned on the 8-device CPU mesh under the Pallas TPU
+interpreter, including its vector-clock race detector
+(tests/test_ring_bwd.py).
 """
 
 from __future__ import annotations
@@ -131,6 +145,29 @@ def main() -> int:
                 "true",
         },
     )
+
+    # Round-5 closure of the clause: the IN-KERNEL RDMA RING backward
+    # (kernels/ring_bwd.py, MeshConfig.grad_ring). The grad all-reduce
+    # is remote DMAs issued between the backward kernel's own grid
+    # steps — the schedule should contain ZERO XLA all-reduce ops; the
+    # collective (and its compute overlap) lives inside the single
+    # backward custom-call. Correctness of that in-kernel reduction is
+    # pinned on the 8-device CPU mesh under the Pallas TPU interpreter
+    # (tests/test_ring_bwd.py, incl. its vector-clock race detector).
+    ringed = make_train_step(
+        key, n_views, opt, RenderConfig(early_stop_eps=0.0), True,
+        "pallas", mesh, grad_buckets=2, band=band,
+        warp_tiling=warp_tiling, bwd_chunks=4, grad_ring=True,
+    )
+    events = schedule_events(
+        ringed, "RING (grad_ring: in-kernel RDMA all-reduce)"
+    )
+    n_ar = sum("AR" in e for _, e in events)
+    print(f"ring variant: {n_ar} XLA all-reduce(s) in the schedule — "
+          f"expected exactly 1, the O(1) SCALAR LOSS psum; every "
+          f"grid-grad reduction (9 collectives in the chunked variant) "
+          f"now rides in-kernel remote DMAs issued between the ring "
+          f"backward's own grid steps, hidden behind slab recompute")
     return 0
 
 

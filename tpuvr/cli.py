@@ -175,10 +175,11 @@ def cmd_fit(args):
     mesh_cfg = cfg.get("mesh_cfg")
     if mesh_cfg is None and cfg.get("mesh") == "data":
         mesh_cfg = MeshConfig(data=0)
-    mesh, grad_buckets, bwd_chunks = None, 4, 1
+    mesh, grad_buckets, bwd_chunks, grad_ring = None, 4, 1, False
     if mesh_cfg is not None:
         grad_buckets = mesh_cfg.grad_buckets
         bwd_chunks = mesh_cfg.bwd_chunks
+        grad_ring = mesh_cfg.grad_ring
         n_dev = jax.local_device_count()
         if mesh_cfg.zshard > 1 and n_dev >= 2 * mesh_cfg.zshard:
             from tpuvr.dist.sharded_grid import grid_mesh
@@ -193,7 +194,7 @@ def cmd_fit(args):
         targets, cams, grid_true.shape, tcfg, cfg["render"],
         mesh=mesh, impl=args.impl, run_dir=args.run_dir,
         resume=args.resume, grad_buckets=grad_buckets,
-        bwd_chunks=bwd_chunks,
+        bwd_chunks=bwd_chunks, grad_ring=grad_ring,
     )
     psnr = evaluate_psnr(grid, cams, targets, cfg["render"], impl=args.impl)
     print(json.dumps({

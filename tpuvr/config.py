@@ -118,12 +118,20 @@ class MeshConfig:
       bwd_chunks: slab-chunk count for the backward sweep; > 1
         all-reduces each chunk's gradient between backward kernels (the
         C10 allreduce/backward overlap). 1 disables chunking.
+      grad_ring: replace the grad-reduction psums with the IN-KERNEL
+        RDMA ring backward (tpuvr.kernels.ring_bwd): the all-reduce's
+        remote DMAs issue between the backward kernel's own grid steps
+        so the wire time hides behind slab recompute instead of
+        scheduling synchronously next to the kernel. Replicated-grid
+        DP path only (1-D 'data' mesh); ``bwd_chunks`` doubles as the
+        ring's slab count.
     """
 
     data: int = 1
     zshard: int = 1
     grad_buckets: int = 4
     bwd_chunks: int = 1
+    grad_ring: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

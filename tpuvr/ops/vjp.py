@@ -39,6 +39,7 @@ def sweep_op(
     bwd_chunks: int = 1,
     axis_name: str | None = None,
     softplus: bool = False,
+    ring: tuple | None = None,
 ):
     """Differentiable sweep: (grid_sc, coeffs, enables, dt_map) -> (rgb, T).
 
@@ -60,6 +61,19 @@ def sweep_op(
     of chunks g+1.., so the scheduler can run it while they march. The
     chunked gradient is psum'd INSIDE this op (invariant over
     ``axis_name``); callers must not re-reduce it.
+
+    ``ring = (axis_name, size, chunks)`` replaces those XLA psums with
+    the IN-KERNEL RDMA ring (kernels/ring_bwd.py): one dense backward
+    pallas_call marches every slice and ring-reduces each finished
+    slab's gradient with remote DMAs issued between its own grid steps
+    — the wire time hides behind the next slab's recompute instead of
+    serializing next to the kernel (the residual XLA:TPU limitation
+    tools/overlap_evidence.py documents for the psum path). Pallas
+    impl only; requires ``shard_map(..., check_vma=False)`` (the type
+    system cannot see through the in-kernel collective) and a 1-D mesh
+    axis. The XLA impl emulates it as backward + psum so CPU-mesh
+    callers exercise the same call shape. Mutually exclusive with
+    ``bwd_chunks``/``axis_name`` and with ``tile_occ``.
     """
     # ``softplus``: the grid's DENSITY channel holds raw parameters and
     # the kernels apply softplus per streamed slice before resampling
@@ -104,9 +118,42 @@ def sweep_op(
             grid_sc, coeffs, enables, dt_map, tile_occ, rgb, trans
         )
 
+    if ring is not None and (bwd_chunks > 1 or axis_name is not None):
+        raise ValueError("ring is mutually exclusive with "
+                         "bwd_chunks/axis_name")
+
     def op_bwd(res, cot):
         grid_sc, coeffs, enables, dt_map, tile_occ, rgb, trans = res
         d_rgb, d_trans = cot
+        if ring is not None:
+            r_axis, r_size, r_chunks = ring
+            if tile_occ is not None:
+                raise ValueError("ring backward is dense-only "
+                                 "(tile_occ unsupported)")
+            if impl == "pallas":
+                from tpuvr.kernels.ring_bwd import sweep_bwd_ring
+
+                dgrid = sweep_bwd_ring(
+                    grid_sc, coeffs, enables, dt_map, rgb, trans,
+                    d_rgb, d_trans, views=views,
+                    ring_axis=r_axis, ring_size=r_size,
+                    ring_chunks=r_chunks, interpret=interpret, **kw,
+                )
+            else:
+                # CPU-mesh twin: same signature/semantics, XLA psum.
+                dgrid = bwd_fn(
+                    grid_sc, coeffs, enables, dt_map, rgb, trans,
+                    d_rgb, d_trans, None, **kw,
+                )
+                dgrid = jax.lax.psum(dgrid, r_axis)
+            zero = lambda x: jnp.zeros_like(x)
+            return (
+                dgrid,
+                tuple(zero(c) for c in coeffs),
+                zero(enables),
+                zero(dt_map),
+                None if tile_occ is None else zero(tile_occ),
+            )
         if bwd_chunks > 1:
             dgrid = _chunked_bwd(
                 bwd_fn, bwd_chunks, axis_name, reverse,

@@ -207,6 +207,7 @@ def make_train_step(
     bwd_chunks: int = 1,
     prestage: bool = False,
     kernel_softplus: bool = False,
+    grad_ring: bool = False,
 ):
     """One jitted train step for a view group (axis, reverse static).
 
@@ -270,7 +271,16 @@ def make_train_step(
     from tpuvr.ops.warp import RowWarpPlan, row_warp_image, row_warp_op
 
     axis, reverse = key[0], key[1]
-    chunked = mesh is not None and bwd_chunks > 1
+    # grad_ring (MeshConfig.grad_ring): the C10 overlap via the
+    # IN-KERNEL RDMA ring backward (kernels/ring_bwd.py) — the grad
+    # all-reduce rides remote DMAs between the backward kernel's own
+    # grid steps instead of XLA psums scheduled next to it. The op's
+    # gradient comes out already reduced; the step differentiates the
+    # plain params (as in the chunked branch) and the shard_map runs
+    # check_vma=False (the type system cannot see through the
+    # in-kernel collective).
+    ringed = mesh is not None and grad_ring
+    chunked = mesh is not None and bwd_chunks > 1 and not ringed
     op = sweep_op(
         reverse, render_cfg.sigma_scale, render_cfg.early_stop_eps,
         resolve_impl(impl), render_cfg.precision, band=band,
@@ -278,6 +288,8 @@ def make_train_step(
         bwd_chunks=bwd_chunks if chunked else 1,
         axis_name="data" if chunked else None,
         softplus=kernel_softplus,
+        ring=(("data", mesh.shape["data"], max(bwd_chunks, 1))
+              if ringed else None),
     )
 
     def grid_and_enables(params):
@@ -464,11 +476,12 @@ def make_train_step(
                 )
             return total / n_views
 
-        if chunked:
+        if chunked or ringed:
             # Overlap mode: the op's backward already all-reduced each
-            # slab chunk's gradient over 'data' (collectives scheduled
-            # between the chunked backward kernels); differentiate the
-            # plain invariant params and do NOT re-reduce.
+            # slab chunk's gradient over 'data' (chunked: collectives
+            # scheduled between the chunked backward kernels; ringed:
+            # remote DMAs inside ONE backward kernel); differentiate
+            # the plain invariant params and do NOT re-reduce.
             loss, grads = jax.value_and_grad(loss_local)(params)
             loss = jax.lax.psum(loss, "data") / n_shards
             return loss, grads
@@ -500,6 +513,7 @@ def make_train_step(
             mesh=mesh,
             in_specs=(P(), _geom_specs(geom_batch), P(), P()),
             out_specs=(P(), P()),
+            check_vma=not ringed,
         )(params, geom_batch, targets, r0s)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -742,6 +756,7 @@ def fit_grid(
     resume: bool = False,
     grad_buckets: int = 4,
     bwd_chunks: int = 1,
+    grad_ring: bool = False,
 ):
     """Optimize a voxel grid to reproduce ``targets`` from ``cams``.
 
@@ -758,6 +773,12 @@ def fit_grid(
         all-reduce each chunk's gradient between backward kernels (the
         C10 overlap; replicated-grid mesh path only). 1 = one psum
         after the full backward.
+      grad_ring: MeshConfig.grad_ring — replace the grad psums with
+        the in-kernel RDMA ring backward (kernels/ring_bwd.py): the
+        all-reduce's remote DMAs issue between the backward kernel's
+        own grid steps, hiding the wire time behind slab recompute
+        (the full C10 overlap). Replicated-grid mesh path only;
+        bwd_chunks doubles as the ring's slab count.
 
     Returns:
       (grid (rendered-space), params, history dict)
@@ -851,6 +872,7 @@ def fit_grid(
             )
             kw["bwd_chunks"] = bwd_chunks
             kw["kernel_softplus"] = fused
+            kw["grad_ring"] = grad_ring
         steps_fns[key] = maker(
             key, k_views, opt, render_cfg, cfg.density_softplus, impl,
             mesh, grad_buckets=grad_buckets, band=band, rows=rows,
