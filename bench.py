@@ -218,7 +218,14 @@ def bench_train_step_fused(jax, jnp, n, cam, cfg, impl):
 
 
 def _grad_fixture(jax, jnp):
-    """Shared tiny scene + f64 oracle for the gradient-accuracy metrics."""
+    """Shared tiny scene + f64 oracle for the gradient-accuracy metrics.
+
+    x64 is enabled around the oracle build (and restored after):
+    without it the ``dtype=float64`` requests silently truncate to f32
+    and the "oracle" is just another f32 marcher — the r1-r4 benches'
+    1.56e-5 was an f32-vs-f32 difference, not a bound against f64
+    (caught round 5; tests/test_tpu_onchip.py always did this right).
+    """
     from tpuvr.io.synth import smoke_sphere
     from tpuvr.ops.geometry import intermediate_rays, plan_sweep, ray_dt, \
         slice_coeffs
@@ -228,25 +235,30 @@ def _grad_fixture(jax, jnp):
     cpu = jax.devices("cpu")[0]
     n, res = 24, 32
     with jax.default_device(cpu):
-        grid64 = smoke_sphere(n, dtype=jnp.float64)
-        c = (n - 1) / 2.0
-        cam = look_at_perspective(
-            (c, c - 3.0 * n, c + 0.7 * n), (c, c, c), res_x=res, res_y=res
-        )
-        axis = dominant_axis(cam)
-        plan, _ = plan_sweep(cam, grid64.shape, axis)
-        o, d = intermediate_rays(plan, dtype=jnp.float64)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            grid64 = smoke_sphere(n, dtype=jnp.float64)
+            c = (n - 1) / 2.0
+            cam = look_at_perspective(
+                (c, c - 3.0 * n, c + 0.7 * n), (c, c, c),
+                res_x=res, res_y=res,
+            )
+            axis = dominant_axis(cam)
+            plan, _ = plan_sweep(cam, grid64.shape, axis)
+            o, d = intermediate_rays(plan, dtype=jnp.float64)
 
-        def loss64(gp):
-            rgb, _ = render_plane_sweep(gp, o, d, axis=2)
-            return jnp.sum(rgb)
+            def loss64(gp):
+                rgb, _ = render_plane_sweep(gp, o, d, axis=2)
+                return jnp.sum(rgb)
 
-        gp64 = jnp.transpose(grid64, GRID_PERM[axis])
-        g_oracle = np.asarray(jax.grad(loss64)(gp64))  # (S, Y, X, 4) f64
-
-        grid32 = grid64.astype(jnp.float32)
+            gp64 = jnp.transpose(grid64, GRID_PERM[axis])
+            g_oracle = np.asarray(jax.grad(loss64)(gp64))  # f64
+            grid32 = np.asarray(grid64).astype(np.float32)
+        finally:
+            jax.config.update("jax_enable_x64", False)
         gsc = jnp.transpose(
-            jnp.transpose(grid32, GRID_PERM[axis]), (0, 3, 1, 2)
+            jnp.transpose(jnp.asarray(grid32), GRID_PERM[axis]),
+            (0, 3, 1, 2),
         )
         coeffs = slice_coeffs(plan, jnp.float32)
         dt_map = ray_dt(plan, jnp.float32)
@@ -278,9 +290,9 @@ def grad_accuracy(jax, jnp, fixture):
                 rgb, _ = op(g, coeffs, enables, dt_map)
                 return jnp.sum(rgb)
 
-            g_vjp = jax.grad(loss32)(gsc)  # (S, 4, Y, X) f32
-            errs[impl] = float(jnp.max(jnp.abs(
-                jnp.transpose(g_vjp, (0, 2, 3, 1)).astype(jnp.float64)
+            g_vjp = np.asarray(jax.grad(loss32)(gsc))  # (S, 4, Y, X)
+            errs[impl] = float(np.max(np.abs(
+                np.transpose(g_vjp, (0, 2, 3, 1)).astype(np.float64)
                 - g_oracle
             )))
         return errs
@@ -309,6 +321,13 @@ def grad_accuracy_compiled(jax, jnp, fixture):
 
 def main():
     import jax
+
+    # Persistent compile cache: kernel compiles through this box's
+    # remote-compile tunnel cost minutes; the driver's fresh-process
+    # bench run rides the cache primed by earlier runs in the round.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/tpuvr_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from tpuvr.config import RenderConfig
@@ -365,17 +384,26 @@ def main():
     # Measured speed-of-light fractions for the judged fwd / fwd+bwd rows
     # (VERDICT r4 hygiene: utilization claims live here, computed from the
     # repo's own chip table + the measured active fraction of this view).
+    # The frame routes to the BANDED kernels (ortho, slope ~0), so the
+    # model must use their 128-wide contraction windows.
     from tpuvr.bench.roofline import measured_active_fraction, \
         roofline_report
+    from tpuvr.kernels.sweep import _TILE, band_tiles
+    from tpuvr.ops.geometry import band_bounds, plan_sweep
+    from tpuvr.ref.camera import dominant_axis
+
     chip = "v5e" if backend == "tpu" else "v5e"
     af = measured_active_fraction(grid, cam, cfg_fast)
+    plan, _ = plan_sweep(cam, grid.shape[:3], dominant_axis(cam))
+    banded = band_tiles(band_bounds(plan), res, res, n, n) is not None
     rl_args = dict(n_planes=n, n_y=n, n_x=n, n_v=res, n_u=res, chip=chip,
-                   precision=prec_fast, active_fraction=af)
+                   precision=prec_fast, active_fraction=af,
+                   window=_TILE if banded else None)
     sol_fwd = roofline_report(t_fwd, **rl_args)["sol_fraction"]
     sol_fb = roofline_report(t_fb_fast, backward=True,
                              **rl_args)["sol_fraction"]
-    log(f"roofline sol_fraction (active_frac {af:.3f}): "
-        f"fwd {sol_fwd:.3f} / fwd+bwd {sol_fb:.3f}")
+    log(f"roofline sol_fraction (active_frac {af:.3f}, "
+        f"banded={banded}): fwd {sol_fwd:.3f} / fwd+bwd {sol_fb:.3f}")
 
     out = {}
 

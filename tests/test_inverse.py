@@ -122,3 +122,58 @@ def test_steps_per_call_scan_matches_per_step(tmp_path):
         runs[K] = (np.asarray(params), hist["loss"])
     np.testing.assert_allclose(runs[2][1], runs[1][1], rtol=1e-6)
     np.testing.assert_allclose(runs[2][0], runs[1][0], atol=1e-6)
+
+
+def test_checkpoint_resume_bf16_state(tmp_path):
+    """TrainConfig.ckpt_bf16 halves checkpoint bytes (the c4 orbax
+    saves fetch ~768 MB through this box's tunnel at ~30 s each); the
+    restore casts back to f32 and the resumed run must continue from
+    the saved state (not a cold start) within bf16 rounding."""
+    grid_true, cams, targets = _scene()
+    rcfg = RenderConfig(early_stop_eps=0.0)
+    cfg1 = TrainConfig(
+        lr=5e-2, steps=30, views_per_batch=4, ckpt_every=10,
+        ckpt_dir=str(tmp_path), ckpt_bf16=True, seed=0,
+    )
+    _, params1, hist1 = fit_grid(
+        targets, cams, grid_true.shape, cfg1, rcfg, run_dir=str(tmp_path)
+    )
+    cfg2 = TrainConfig(
+        lr=5e-2, steps=60, views_per_batch=4, ckpt_every=10,
+        ckpt_dir=str(tmp_path), ckpt_bf16=True, seed=0,
+    )
+    grid2, params2, hist2 = fit_grid(
+        targets, cams, grid_true.shape, cfg2, rcfg,
+        run_dir=str(tmp_path), resume=True,
+    )
+    assert np.asarray(params2).dtype == np.float32
+    assert hist2["loss"][0] < hist1["loss"][0] * 0.5
+    assert np.mean(hist2["loss"][-5:]) <= np.mean(hist1["loss"][-5:])
+
+
+def test_lit_inverse_rendering_recovers_density(tmp_path):
+    """LIT inverse rendering (the c5 training shape, BASELINE.json:11):
+    targets rendered with the hemisphere light volume; each train step
+    bakes the light volume from the CURRENT density and multiplies it
+    into emission before the sweep (detached shadows). Loss must fall
+    and the recovered grid must reproduce the lit views."""
+    from tpuvr.config import LightingConfig
+
+    grid_true, cams, targets_unlit = _scene()
+    lcfg = LightingConfig(mode="lightvolume", n_samples=4)
+    rcfg = RenderConfig(early_stop_eps=0.0)
+    targets = np.asarray(render_all_views(
+        grid_true, cams, rcfg, lighting=lcfg))
+    cfg = TrainConfig(
+        lr=5e-2, steps=150, views_per_batch=4, ckpt_every=0,
+        ckpt_dir=str(tmp_path), seed=0,
+    )
+    grid, params, hist = fit_grid(
+        targets, cams, grid_true.shape, cfg, rcfg,
+        run_dir=str(tmp_path), lighting=lcfg,
+    )
+    first = np.mean(hist["loss"][:5])
+    last = np.mean(hist["loss"][-5:])
+    assert last < first * 0.15, (first, last)
+    assert evaluate_psnr(grid, cams, targets, rcfg,
+                         lighting=lcfg) > 24.0

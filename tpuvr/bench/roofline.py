@@ -30,13 +30,23 @@ CHIPS: Dict[str, ChipSpec] = {
 
 def sweep_cost(n_planes: int, n_y: int, n_x: int, n_v: int, n_u: int,
                channels: int = 4, itemsize: int = 4,
-               active_fraction: float = 1.0, backward: bool = False):
+               active_fraction: float = 1.0, backward: bool = False,
+               window: int | None = None):
     """Per-frame (flops, hbm_bytes) of the sweep.
 
-    Per slice per channel the resample is (V,Y)@(Y,X) + (V,X)@(X,U); the
-    backward adds the transposed pair (recompute + grad), i.e. ~2x.
+    Per slice per channel the dense resample is (V,Y)@(Y,X) +
+    (V,X)@(X,U); the backward adds the transposed pair (recompute +
+    grad), i.e. ~3x. ``window`` models the BANDED kernels (the default
+    route whenever band_tiles qualifies): each output tile contracts
+    only a ``window``-wide slice band, shrinking the contraction dims
+    from (Y, X) to (window, window) — without it the model overcounts
+    banded frames by Y/window x X/window and reports sol_fraction > 1
+    (caught round 5 when bench started emitting sol_fraction). HBM
+    bytes are unchanged: the full slice still streams.
     """
-    per_slice = channels * (2.0 * n_v * n_y * n_x + 2.0 * n_v * n_x * n_u)
+    k_y = n_y if window is None else min(window, n_y)
+    k_x = n_x if window is None else min(window, n_x)
+    per_slice = channels * (2.0 * n_v * k_y * n_x + 2.0 * n_v * k_x * n_u)
     mult = 3.0 if backward else 1.0  # bwd re-marches + 2 grad matmuls
     flops = per_slice * n_planes * active_fraction * mult
     bytes_grid = n_planes * channels * n_y * n_x * itemsize
@@ -69,12 +79,14 @@ def measured_active_fraction(grid, cam, cfg) -> float:
 def roofline_report(frame_seconds: float, n_planes: int, n_y: int,
                     n_x: int, n_v: int, n_u: int, chip: str = "v5e",
                     precision: str = "highest", backward: bool = False,
-                    active_fraction: float = 1.0):
+                    active_fraction: float = 1.0,
+                    window: int | None = None):
     """Measured time -> achieved TFLOP/s, GB/s and % of speed-of-light."""
     spec = CHIPS[chip]
     flops, byts = sweep_cost(
         n_planes, n_y, n_x, n_v, n_u,
         active_fraction=active_fraction, backward=backward,
+        window=window,
     )
     peak_tf = spec.f32_tflops if precision == "highest" else spec.bf16_tflops
     t_compute = flops / (peak_tf * 1e12)

@@ -145,6 +145,9 @@ class TrainConfig:
       rays_per_view: if set, subsample this many rays per view per step.
       ckpt_every: checkpoint interval in steps (0 disables).
       ckpt_dir: orbax checkpoint directory.
+      ckpt_bf16: cast f32 state arrays to bf16 in checkpoints (halves
+        save bytes; restore casts back — one bf16 rounding of
+        params/moments per resume).
       seed: PRNG seed.
       density_softplus: parameterize density through softplus for
         positivity.
@@ -163,6 +166,7 @@ class TrainConfig:
     rays_per_view: Optional[int] = None
     ckpt_every: int = 100
     ckpt_dir: str = "/tmp/tpuvr_ckpt"
+    ckpt_bf16: bool = False
     seed: int = 0
     density_softplus: bool = True
     steps_per_call: int = 1

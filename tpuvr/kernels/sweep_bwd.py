@@ -200,7 +200,9 @@ def _sweep_bwd_dbatch_kernel(
     view's rows are disjoint in A_full. Same FLOPs as the per-view
     pair, but 4 big matmuls replace 32 small ones and the grad block
     is written exactly once (no per-view VMEM read-modify-write);
-    measured 7.86 -> see tools/kernel_tune.py for the current number.
+    the stacked-E rewrite measured 7.86 ms -> 6.0 ms for this kernel
+    at the c4 shape (2026-08-20; rerun tools/kernel_tune.py for
+    current numbers on the target chip).
     Parked (disabled) rows have all-zero tent weights => sig_raw = 0 =>
     the relu mask and w = 0 zero both density and emission gradients —
     identical lossless gating to the forward.

@@ -28,7 +28,25 @@ class Checkpointer:
             ),
         )
 
-    def save(self, step: int, state: Any):
+    def save(self, step: int, state: Any, cast_bf16: bool = False):
+        """Save ``state``; ``cast_bf16`` halves the checkpoint's f32
+        array bytes (TrainConfig.ckpt_bf16) — on this container the
+        device->host fetch rides a ~25 MB/s tunnel, so a 768 MB c4
+        state costs ~30 s per save; bf16 halves that stall. Restore
+        casts back to the abstract target's dtype (orbax honors the
+        target dtype), costing one bf16 rounding of params/moments per
+        resume — bounded by the same rounding the bf16 compute tiers
+        already apply every step."""
+        if cast_bf16:
+            import jax
+            import jax.numpy as jnp
+
+            def cast(x):
+                if getattr(x, "dtype", None) == jnp.float32:
+                    return x.astype(jnp.bfloat16)
+                return x
+
+            state = jax.tree.map(cast, state)
         self.mgr.save(step, args=self._ocp.args.StandardSave(state))
 
     def latest_step(self) -> Optional[int]:

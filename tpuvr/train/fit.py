@@ -208,6 +208,7 @@ def make_train_step(
     prestage: bool = False,
     kernel_softplus: bool = False,
     grad_ring: bool = False,
+    lighting=None,
 ):
     """One jitted train step for a view group (axis, reverse static).
 
@@ -292,6 +293,14 @@ def make_train_step(
               if ringed else None),
     )
 
+    if lighting is not None and getattr(lighting, "mode", "none") != "none" \
+            and kernel_softplus:
+        raise ValueError(
+            "lit training needs the canonical-grid path; fused "
+            "kernel_softplus keeps params layout-resident (set "
+            "TPUVR_FUSED_SOFTPLUS=0 or density_softplus=False)"
+        )
+
     def grid_and_enables(params):
         """Sweep-layout grid + slice enables from the raw parameters."""
         if kernel_softplus:
@@ -299,6 +308,16 @@ def make_train_step(
             # positive everywhere so every slice is occupied.
             return params, jnp.ones((params.shape[0],), params.dtype)
         grid = params_to_grid(params, density_softplus)
+        if lighting is not None and getattr(lighting, "mode", "none") != "none":
+            # LIT inverse rendering (the c5 training shape): bake the
+            # sky-transmittance volume from the CURRENT density and
+            # multiply it into emission before the sweep. Gradients
+            # flow through the emission product (and, with
+            # lighting.detach=False, through the tau sweeps' adjoints).
+            from tpuvr.ops.lighting import apply_lighting
+
+            grid = apply_lighting(grid, lighting, render_cfg.precision,
+                                  impl=resolve_impl(impl))
         grid_sc = grid_to_sweep_layout(grid, axis)
         enables = slice_enables(
             grid_sc, reverse, render_cfg.use_occupancy
@@ -757,6 +776,8 @@ def fit_grid(
     grad_buckets: int = 4,
     bwd_chunks: int = 1,
     grad_ring: bool = False,
+    lighting=None,
+    params_init=None,
 ):
     """Optimize a voxel grid to reproduce ``targets`` from ``cams``.
 
@@ -779,6 +800,18 @@ def fit_grid(
         own grid steps, hiding the wire time behind slab recompute
         (the full C10 overlap). Replicated-grid mesh path only;
         bwd_chunks doubles as the ring's slab count.
+      lighting: optional LightingConfig for LIT inverse rendering (the
+        c5 training shape, BASELINE.json:11): each step bakes the sky
+        light volume from the current density and multiplies it into
+        emission before the sweep (detached by default; detach=False
+        differentiates the shadows through the tau-sweep adjoints).
+        Disables the fused layout-resident mode (the bake needs the
+        canonical grid).
+      params_init: optional (Z, Y, X, 4) raw-parameter warm start
+        (default: init_params — note density_softplus=False zeros give
+        DEAD gradients through the relu'd density; pass a small
+        positive density to train without the softplus
+        parameterization).
 
     Returns:
       (grid (rendered-space), params, history dict)
@@ -787,7 +820,8 @@ def fit_grid(
     run_dir = run_dir or cfg.ckpt_dir
     metrics = MetricsLogger(run_dir)
     opt = optax.adam(cfg.lr)
-    params = init_params(grid_shape, cfg.density_softplus)
+    params = (jnp.asarray(params_init) if params_init is not None
+              else init_params(grid_shape, cfg.density_softplus))
     z_sharded = (
         mesh is not None
         and "z" in getattr(mesh, "axis_names", ())
@@ -850,9 +884,11 @@ def fit_grid(
     # the mode needs K > 1 unless there is only one group.
     import os as _os
 
+    lit = lighting is not None and getattr(lighting, "mode", "none") != "none"
     fused = (
         cfg.density_softplus
         and not z_sharded
+        and not lit  # the lighting bake needs the canonical grid
         and _os.environ.get("TPUVR_FUSED_SOFTPLUS", "1") != "0"
         and (max(int(cfg.steps_per_call), 1) > 1 or len(group_keys) == 1)
     )
@@ -873,6 +909,7 @@ def fit_grid(
             kw["bwd_chunks"] = bwd_chunks
             kw["kernel_softplus"] = fused
             kw["grad_ring"] = grad_ring
+            kw["lighting"] = lighting
         steps_fns[key] = maker(
             key, k_views, opt, render_cfg, cfg.density_softplus, impl,
             mesh, grad_buckets=grad_buckets, band=band, rows=rows,
@@ -1027,7 +1064,8 @@ def fit_grid(
                 params, opt_state, cur_layout, None, donate=False
             ) if fused else (params, opt_state)
             ckpt.save(next_step - 1,
-                      {"params": p_c, "opt_state": o_c})
+                      {"params": p_c, "opt_state": o_c},
+                      cast_bf16=cfg.ckpt_bf16)
         step_no = next_step
     if pending is not None:
         drain(pending)
@@ -1042,17 +1080,19 @@ def fit_grid(
     return grid, params, history
 
 
-def render_all_views(grid, cams, render_cfg=RenderConfig(), impl=None):
+def render_all_views(grid, cams, render_cfg=RenderConfig(), impl=None,
+                     lighting=None):
     """Render every camera; returns (N, H, W, 3)."""
     from tpuvr.ops.render import render_view
 
     return jnp.stack(
-        [render_view(grid, cam, render_cfg, impl=impl)[0] for cam in cams]
+        [render_view(grid, cam, render_cfg, impl=impl,
+                     lighting=lighting)[0] for cam in cams]
     )
 
 
 def render_views_grouped(grid, cams, render_cfg=RenderConfig(),
-                         impl=None):
+                         impl=None, lighting=None):
     """Render every camera with ONE compiled program per view group.
 
     ``render_all_views`` traces a fresh program per camera (the camera
@@ -1067,6 +1107,12 @@ def render_views_grouped(grid, cams, render_cfg=RenderConfig(),
     from tpuvr.ops.vjp import resolve_impl, sweep_op
     from tpuvr.ops.warp import RowWarpPlan, row_warp_image, row_warp_op
 
+    if lighting is not None and getattr(lighting, "mode", "none") != "none":
+        from tpuvr.ops.lighting import apply_lighting
+        from tpuvr.ops.vjp import resolve_impl as _ri
+
+        grid = jax.jit(lambda g: apply_lighting(
+            g, lighting, render_cfg.precision, impl=_ri(impl)))(grid)
     with jax.default_device(jax.devices("cpu")[0]):
         groups = group_views(cams, grid.shape)
     out = [None] * len(cams)
@@ -1113,6 +1159,7 @@ def render_views_grouped(grid, cams, render_cfg=RenderConfig(),
     return jnp.stack(out)
 
 
-def evaluate_psnr(grid, cams, targets, render_cfg=RenderConfig(), impl=None):
-    preds = render_views_grouped(grid, cams, render_cfg, impl)
+def evaluate_psnr(grid, cams, targets, render_cfg=RenderConfig(),
+                  impl=None, lighting=None):
+    preds = render_views_grouped(grid, cams, render_cfg, impl, lighting)
     return float(psnr(preds, jnp.asarray(targets)))
