@@ -82,11 +82,14 @@ def main() -> int:
 
     params0 = jnp.full((n, n, n, 4), 0.5, jnp.float32)
     params0 = params0.at[..., 0].set(0.01)
+    import optax
+
+    opt = optax.adam(cfg.lr, mu_dtype=jnp.bfloat16)  # -1 GB at 512^3
     t0 = time.time()
     grid, params, hist = fit_grid(
         targets, cams, (n, n, n, 4), cfg, rcfg,
         run_dir="/tmp/tpuvr_c5_train", lighting=lcfg,
-        params_init=params0,
+        params_init=params0, opt=opt,
     )
     wall = time.time() - t0
     losses = [float(x) for x in hist["loss"]]

@@ -178,8 +178,8 @@ def _ring_issue(grad_ref, rbuf_ref, vseg_ref, vseg2_ref, send_sem,
 
 def _sweep_bwd_ring_kernel(
     pos_ref,     # (B, 1, V) per-(slice, row) positions (enables folded)
-    ax_ref,      # SMEM (S, views)
-    bx_ref,      # SMEM (S, views)
+    ax_ref,      # SMEM (views, S)
+    bx_ref,      # SMEM (views, S)
     slice_ref,   # (B, 4, Y, X) grid slices (recompute)
     dt_ref,      # (V, U)
     dbias_ref,   # (V, U)
@@ -303,8 +303,8 @@ def _sweep_bwd_ring_kernel(
             def view_body(w):
                 mat_b = jnp.maximum(
                     0.0,
-                    1.0 - jnp.abs(ju * ax_ref[k, w].astype(f32)
-                                  + bx_ref[k, w].astype(f32) - xx),
+                    1.0 - jnp.abs(ju * ax_ref[w, k].astype(f32)
+                                  + bx_ref[w, k].astype(f32) - xx),
                 ).astype(dtype)
                 vs = slice(w * v_pv, (w + 1) * v_pv)
 

@@ -270,8 +270,8 @@ def _sweep_fwd_kernel(
 def _sweep_fwd_dbatch_kernel(
     pos_ref,    # (B, V) per-(slice, output-row) sample position, with
                 # disabled (view, slice) rows parked far off-grid
-    ax_ref,     # SMEM (S, views) per-(slice, view) column slope
-    bx_ref,     # SMEM (S, views) per-(slice, view) column intercept
+    ax_ref,     # SMEM (views, S) per-(view, slice) column slope
+    bx_ref,     # SMEM (views, S) per-(view, slice) column intercept
     slice_ref,  # (B, 4, Y, X)
     dt_ref,     # (V, U) — views stacked along V
     rgb_ref,    # (3, V, U) out, revisited
@@ -359,8 +359,8 @@ def _sweep_fwd_dbatch_kernel(
             def view_body(w):
                 mat_b = jnp.maximum(
                     0.0,
-                    1.0 - jnp.abs(ju * ax_ref[k, w].astype(f32)
-                                  + bx_ref[k, w].astype(f32) - xx),
+                    1.0 - jnp.abs(ju * ax_ref[w, k].astype(f32)
+                                  + bx_ref[w, k].astype(f32) - xx),
                 ).astype(dtype)
                 vs = slice(w * v_pv, (w + 1) * v_pv)
 
@@ -395,7 +395,7 @@ def _sweep_fwd_dbatch_kernel(
 
 
 def batch_positions(coeffs, enables, n_v, views, n_y, dtype):
-    """(views, S) coeffs -> ((S, V_total) positions, (S, views) ax/bx).
+    """(views, S) coeffs -> ((S, V_total) positions, (views, S) ax/bx).
 
     Per-row sample position pos[s, w*v_pv + v] = ay[w,s]*v + by[w,s];
     disabled (view, slice) pairs park their rows 3*n_y off-grid (zero
@@ -418,7 +418,10 @@ def batch_positions(coeffs, enables, n_v, views, n_y, dtype):
     # The unit middle dim puts the TPU block-shape constraint on
     # (1, V_total) — satisfiable for any slice-block count.
     pos = jnp.transpose(pos, (1, 0, 2)).reshape(s, 1, views * v_pv)
-    return pos, jnp.transpose(ax, (1, 0)), jnp.transpose(bx, (1, 0))
+    # ax/bx stay (views, S): whole-array SMEM operands pad the LAST dim
+    # to 128 lanes, so the slice count (not the view count) must be
+    # last (see _expand_tile_scalars).
+    return pos, ax, bx
 
 
 _TILE = 128  # banded-kernel output tile edge == band window width
@@ -567,9 +570,9 @@ def _sweep_fwd_banded_kernel(
                 # ``vt`` may be a TRACED index (fori_loop below): all
                 # v-side addressing goes through pl.ds with 8-aligned
                 # dynamic sublane offsets (tile_v is 32/64/128).
-                ay, by = ay_ref[k, vt].astype(f32), by_ref[k, vt].astype(f32)
-                ax, bx = ax_ref[k, vt].astype(f32), bx_ref[k, vt].astype(f32)
-                en = enable_ref[k, vt]
+                ay, by = ay_ref[vt, k].astype(f32), by_ref[vt, k].astype(f32)
+                ax, bx = ax_ref[vt, k].astype(f32), bx_ref[vt, k].astype(f32)
+                en = enable_ref[vt, k]
                 v0 = vt * tile_v
                 f0 = v0 * ay + by
                 r0, boff = _band_window(
@@ -642,7 +645,7 @@ def _sweep_fwd_banded_kernel(
                     acc = occ_ref[b, vt, 0]
                     for ut in range(1, n_u // _TILE):
                         acc = jnp.maximum(acc, occ_ref[b, vt, ut])
-                    pl.when(enable_ref[k, vt] * acc > 0.0)(
+                    pl.when(enable_ref[vt, k] * acc > 0.0)(
                         functools.partial(row_body, vt)
                     )
                 else:
@@ -668,28 +671,34 @@ def _sweep_fwd_banded_kernel(
 
 
 def _expand_tile_scalars(arrs, views, tile_v, n_v, fold_by=True):
-    """Per-view (views, S) scalar arrays -> per-(slice, vtile) (S, n_vt).
+    """Per-view (views, S) scalar arrays -> per-(vtile, slice) (n_vt, S).
 
     Each view owns ``n_v // views`` stacked intermediate rows; its row
     intercept ``by`` is folded with the view's base offset so the kernel
     evaluates ``f = ay * v_global + by'`` directly. For views == 1 the
     arrays may be (S,) and are broadcast across the tiles.
+
+    Layout is (n_vt, S) — vtile FIRST — because whole-array SMEM
+    operands pad their LAST dimension to 128 lanes: the (S, n_vt)
+    orientation padded five (512, 16) coefficient arrays to 256 KB
+    each and blew the 1 MB SMEM budget at 512^3 @ 1024^2 (caught
+    round 5 running the c5 lit training step).
     """
     ay, by, ax, bx, en = arrs
     if views == 1:
         n_vt = n_v // tile_v
         return tuple(
-            jnp.broadcast_to(a[:, None], (a.shape[0], n_vt))
+            jnp.broadcast_to(a[None, :], (n_vt, a.shape[0]))
             for a in (ay, by, ax, bx, en)
         )
     n_v_pv = n_v // views
     nvt_pv = n_v_pv // tile_v
     base = (jnp.arange(views, dtype=by.dtype) * n_v_pv)[:, None]
     by = by - ay * base if fold_by else by
-    # (views, S) -> (S, views * nvt_pv): view-major along the tile axis.
+
+    # (views, S) -> (views * nvt_pv, S): view-major along the tile axis.
     def ex(a):
-        a = jnp.transpose(a, (1, 0))           # (S, views)
-        return jnp.repeat(a, nvt_pv, axis=1)   # (S, n_vt)
+        return jnp.repeat(a, nvt_pv, axis=0)   # (n_vt, S)
 
     return ex(ay), ex(by), ex(ax), ex(bx), ex(en)
 

@@ -164,8 +164,8 @@ def _sweep_bwd_kernel(
 
 def _sweep_bwd_dbatch_kernel(
     pos_ref,     # (B, V) per-(slice, output-row) positions (enables folded)
-    ax_ref,      # SMEM (S, views)
-    bx_ref,      # SMEM (S, views)
+    ax_ref,      # SMEM (views, S)
+    bx_ref,      # SMEM (views, S)
     slice_ref,   # (B, 4, Y, X) grid slices (recompute)
     dt_ref,      # (V, U)
     dbias_ref,   # (V, U)
@@ -261,8 +261,8 @@ def _sweep_bwd_dbatch_kernel(
             def view_body(w):
                 mat_b = jnp.maximum(
                     0.0,
-                    1.0 - jnp.abs(ju * ax_ref[k, w].astype(f32)
-                                  + bx_ref[k, w].astype(f32) - xx),
+                    1.0 - jnp.abs(ju * ax_ref[w, k].astype(f32)
+                                  + bx_ref[w, k].astype(f32) - xx),
                 ).astype(dtype)
                 vs = slice(w * v_pv, (w + 1) * v_pv)
 
@@ -437,10 +437,10 @@ def _sweep_bwd_banded_kernel(
                 acc = occ_ref[b, vt, 0]
                 for ut in range(1, n_u // t):
                     acc = jnp.maximum(acc, occ_ref[b, vt, ut])
-                return enable_ref[k, vt] * acc > 0.0
+                return enable_ref[vt, k] * acc > 0.0
 
             def row_stage(vt):
-                ay, by = ay_ref[k, vt].astype(f32), by_ref[k, vt].astype(f32)
+                ay, by = ay_ref[vt, k].astype(f32), by_ref[vt, k].astype(f32)
                 v0 = vt * tile_v
                 f0 = v0 * ay + by
                 r0, boff = _band_window(
@@ -460,8 +460,8 @@ def _sweep_bwd_banded_kernel(
                     )
 
             def tile_stage(vt, ut):
-                ax, bx = ax_ref[k, vt].astype(f32), bx_ref[k, vt].astype(f32)
-                en = enable_ref[k, vt]
+                ax, bx = ax_ref[vt, k].astype(f32), bx_ref[vt, k].astype(f32)
+                en = enable_ref[vt, k]
                 v0, u0 = vt * tile_v, ut * tile_u
                 g0 = u0 * ax + bx
                 c0, coff = _band_window(
@@ -512,7 +512,7 @@ def _sweep_bwd_banded_kernel(
                     live = row_live(vt)
                     pl.when(live)(functools.partial(row_stage, vt))
                     for ut in range(n_u // tile_u):
-                        tl = (enable_ref[k, vt] * occ_ref[b, vt, ut]
+                        tl = (enable_ref[vt, k] * occ_ref[b, vt, ut]
                               > 0.0)
                         pl.when(tl)(functools.partial(tile_stage, vt, ut))
                         pl.when(jnp.logical_not(tl))(
@@ -547,8 +547,8 @@ def _sweep_bwd_banded_kernel(
                             else d_c_ref[g - 1, s[0], s[1]] * w_ref[s])
 
                 def accum_rows(vt):
-                    ay = ay_ref[k, vt].astype(f32)
-                    by = by_ref[k, vt].astype(f32)
+                    ay = ay_ref[vt, k].astype(f32)
+                    by = by_ref[vt, k].astype(f32)
                     v0 = vt * tile_v
                     f0 = v0 * ay + by
                     r0, boff = _band_window(
@@ -590,10 +590,10 @@ def _sweep_bwd_banded_kernel(
                     # This view's u-side operator scalars (uniform
                     # across its v-tiles).
                     vt0 = w_i * vt_pv
-                    ay, by = (ay_ref[k, vt0].astype(f32),
-                              by_ref[k, vt0].astype(f32))
-                    ax, bx = (ax_ref[k, vt0].astype(f32),
-                              bx_ref[k, vt0].astype(f32))
+                    ay, by = (ay_ref[vt0, k].astype(f32),
+                              by_ref[vt0, k].astype(f32))
+                    ax, bx = (ax_ref[vt0, k].astype(f32),
+                              bx_ref[vt0, k].astype(f32))
                     if w_u >= n_u:
                         # Dense u-side: one (Y,U)@(U,X) via B^T.
                         mat_b = _interp_matrices(

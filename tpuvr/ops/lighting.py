@@ -171,13 +171,22 @@ def _directional_tau(sigma, w, precision="highest", impl=None):
 
 def light_volume(sigma, cfg: LightingConfig = LightingConfig(),
                  precision: str = "highest", impl=None):
-    """Sky-light volume L (Z, Y, X): mean hemisphere transmittance."""
+    """Sky-light volume L (Z, Y, X): mean hemisphere transmittance.
+
+    Directions accumulate behind ``optimization_barrier``s: without the
+    chain XLA schedules many of the N per-direction tau volumes
+    concurrently — at 512^3 that was 10+ live 511 MB buffers and a 4 GB
+    HBM overshoot in the c5 lit train step (caught round 5). The
+    barrier pins each tau's lifetime to its accumulation (~2 live
+    volumes with prefetch), at no arithmetic cost.
+    """
     dirs = hemisphere_dirs(cfg.n_samples, cfg.up)
-    total = 0.0
+    total = jnp.zeros_like(sigma)
     for w in dirs:
         total = total + jnp.exp(
             -_directional_tau(sigma, w, precision, impl=impl)
         )
+        total = jax.lax.optimization_barrier(total)
     return (cfg.sky_intensity / cfg.n_samples) * total
 
 

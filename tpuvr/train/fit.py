@@ -778,6 +778,7 @@ def fit_grid(
     grad_ring: bool = False,
     lighting=None,
     params_init=None,
+    opt=None,
 ):
     """Optimize a voxel grid to reproduce ``targets`` from ``cams``.
 
@@ -812,6 +813,9 @@ def fit_grid(
         DEAD gradients through the relu'd density; pass a small
         positive density to train without the softplus
         parameterization).
+      opt: optional optax optimizer (default: optax.adam(cfg.lr)) —
+        e.g. optax.adam(lr, mu_dtype=jnp.bfloat16) shaves a full-grid
+        f32 moment at 512^3 (tools/c5_train.py's HBM budget).
 
     Returns:
       (grid (rendered-space), params, history dict)
@@ -819,7 +823,7 @@ def fit_grid(
     targets = np.asarray(targets)  # host-side until per-group staging
     run_dir = run_dir or cfg.ckpt_dir
     metrics = MetricsLogger(run_dir)
-    opt = optax.adam(cfg.lr)
+    opt = opt if opt is not None else optax.adam(cfg.lr)
     params = (jnp.asarray(params_init) if params_init is not None
               else init_params(grid_shape, cfg.density_softplus))
     z_sharded = (
