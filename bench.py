@@ -93,7 +93,7 @@ def bench_fwd_prepared(jax, jnp, grid, cam, cfg, impl):
 
     axis = dominant_axis(cam)
     prep0 = jax.jit(lambda g: prepare_grid(g, axes=(axis,)))(grid)
-    gsc, smax0, bmax = prep0[axis]
+    gsc, smax0 = prep0[axis]
     if not cfg.use_occupancy:
         # The frame chain runs through the O(S) occupancy vector; without
         # it the render is loop-invariant and XLA hoists it out of the
@@ -103,14 +103,14 @@ def bench_fwd_prepared(jax, jnp, grid, cam, cfg, impl):
         )
 
     def body(smax, consts):
-        gsc, bmax = consts
+        (gsc,) = consts
         rgb, t = render_prepared(
-            {axis: (gsc, smax, bmax)}, cam, cfg, impl=impl
+            {axis: (gsc, smax)}, cam, cfg, impl=impl
         )
         # The epsilon never flips an occupancy bit (slice_max is 0 or >>).
         return smax + jnp.mean(rgb) * 1e-30
 
-    return _timed_scan(jax, jnp, body, (smax0, (gsc, bmax)), 64, 256)
+    return _timed_scan(jax, jnp, body, (smax0, (gsc,)), 64, 256)
 
 
 def bench_fwd(jax, jnp, grid, cam, cfg, impl):
@@ -132,14 +132,14 @@ def bench_fwd_bwd(jax, jnp, grid, cam, cfg, impl):
 
     axis = dominant_axis(cam)
     prep0 = jax.jit(lambda g: prepare_grid(g, axes=(axis,)))(grid)
-    gsc, smax0, bmax = prep0[axis]
+    gsc, smax0 = prep0[axis]
 
     def body(smax, consts):
-        gsc, bmax = consts
+        (gsc,) = consts
 
         def loss(g):
             rgb, t = render_prepared(
-                {axis: (g, smax, bmax)}, cam, cfg, impl=impl
+                {axis: (g, smax)}, cam, cfg, impl=impl
             )
             return jnp.mean((rgb - 0.25) ** 2)
 
@@ -148,7 +148,7 @@ def bench_fwd_bwd(jax, jnp, grid, cam, cfg, impl):
         # backward kernel without adding an O(grid) optimizer update.
         return smax + grads[0, 0, 0, 0] * 1e-30
 
-    return _timed_scan(jax, jnp, body, (smax0, (gsc, bmax)), 16, 64)
+    return _timed_scan(jax, jnp, body, (smax0, (gsc,)), 16, 64)
 
 
 def bench_train_step(jax, jnp, grid0, cam, cfg, impl):

@@ -138,10 +138,3 @@ def test_fused_softplus_grad_vs_autodiff():
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref),
                                atol=3e-5)
 
-
-def test_fused_softplus_rejects_tile_occ():
-    raw, _, coeffs, enables, dt = _setup(29, 1)
-    occ = jnp.ones((raw.shape[0], 1, 1), jnp.float32)
-    with pytest.raises(ValueError, match="tile_occ"):
-        sweep_fwd(raw, coeffs, enables, dt, occ, softplus=True,
-                  band=(0.9, 0.9, 0.5, 0.5))

@@ -98,8 +98,7 @@ def test_tile_gating_lossless_on_chip(scene):
     prep = jax.jit(lambda g: prepare_grid(g, axes=(2,)))(grid)
     r_on, t_on = render_prepared(
         prep, cam,
-        RenderConfig(early_stop_eps=0.0, use_occupancy=True,
-                     tile_skip=True),
+        RenderConfig(early_stop_eps=0.0, use_occupancy=True),
     )
     r_off, t_off = render_prepared(
         prep, cam, RenderConfig(early_stop_eps=0.0, use_occupancy=False)

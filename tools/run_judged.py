@@ -57,16 +57,16 @@ def bench_lit_frame(jax, jnp, grid, cam, cfg, lcfg, impl):
         lambda g: prepare_grid(g, axes=(axis,), lighting=lcfg,
                                precision=cfg.precision)
     )(grid)
-    gsc, smax0, bmax = prep0[axis]
+    gsc, smax0 = prep0[axis]
 
     def body(smax, consts):
-        gsc, bmax = consts
-        rgb, t = render_prepared({axis: (gsc, smax, bmax)}, cam, cfg,
+        (gsc,) = consts
+        rgb, t = render_prepared({axis: (gsc, smax)}, cam, cfg,
                                  impl=impl)
         return smax + jnp.mean(rgb) * 1e-30
 
     n_lo, n_hi = (16, 64) if grid.shape[0] >= 512 else (64, 256)
-    return _timed_scan(jax, jnp, body, (smax0, (gsc, bmax)), n_lo, n_hi)
+    return _timed_scan(jax, jnp, body, (smax0, (gsc,)), n_lo, n_hi)
 
 
 def bench_bake(jax, jnp, grid, lcfg, precision, impl):

@@ -38,13 +38,6 @@ class RenderConfig:
       use_occupancy: enable empty-space skipping via the coarse occupancy
         grid (C6).
       occupancy_brick: brick edge length (voxels) for the occupancy grid.
-      tile_skip: additionally gate each banded 128^2 output tile's window
-        contraction on its per-slice brick occupancy. Lossless, but the
-        per-tile branches defeat Mosaic's cross-slice pipelining
-        (~1.8x overhead measured at 256^3 @ 512^2), and a 128-voxel-wide
-        window only skips when a whole 128^2 slice region is empty — so
-        this wins only on large grids (>= 512^3) with localized density
-        (e.g. hollow shells) and is off by default.
       sigma_scale: global multiplier on density before alpha conversion.
       tmin: samples with ray parameter t <= tmin are ignored (rays start at
         their origin).
@@ -72,7 +65,6 @@ class RenderConfig:
     ert_chunks: int = 1
     use_occupancy: bool = True
     occupancy_brick: int = 8
-    tile_skip: bool = False
     sigma_scale: float = 1.0
     tmin: float = 0.0
     max_rows_per_call: Optional[int] = 512

@@ -465,7 +465,9 @@ def sweep_bwd_ring(
         raise ValueError("sweep_bwd_ring needs ring_size >= 2; use "
                          "sweep_bwd + psum on a single device")
     if block is None:
-        block = next(b for b in (4, 2, 1) if s % b == 0)
+        # Same preference as the dbatch backward: 2-slice blocks
+        # measured faster at the c4 shape (tools/kernel_tune.py).
+        block = next(b for b in (2, 1) if s % b == 0)
     n_steps = s // block
     sc, rem = divmod(s, ring_chunks)
     if rem or sc % ring_size or n_steps % ring_chunks:

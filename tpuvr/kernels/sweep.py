@@ -464,13 +464,6 @@ def band_tiles(band, n_v, n_u, n_y, n_x):
     window savings (2026-08-19, v5e). Grid planes must be at least one
     window wide and 8-aligned.
 
-    NOTE: per-tile occupancy gating (RenderConfig.tile_skip) is defined
-    on the _TILE occupancy grid only — when adaptive SUB-128 tiles are
-    selected here, sweep_fwd/sweep_bwd silently drop the per-tile gates
-    (slice-level enables still apply). Sparse scenes rendered with
-    steep perspective sweeps therefore lose the per-tile empty-space
-    skip; see the tile_skip docstring and BASELINE.md for when that
-    trade matters.
     """
     if band is None:
         return None
@@ -496,9 +489,7 @@ def band_ok(band, n_v, n_u, n_y, n_x) -> bool:
 
 
 def _sweep_fwd_banded_kernel(
-    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM (S, n_vt) scalars
-    occ_ref,    # SMEM (block, Tv, Tu) this step's tile gates (traversal
-                # order within the block — NOT flipped for reverse)
+    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM (n_vt, S) scalars
     slice_ref,  # (B, 4, Y, X) current block of grid slices
     dt_ref,     # (V, U)
     rgb_ref,    # (3, V, U) out, revisited
@@ -511,7 +502,6 @@ def _sweep_fwd_banded_kernel(
     precision: str,
     block: int,
     reverse: bool,
-    gated: bool,
     tile_v: int = _TILE,
     tile_u: int = _TILE,
     softplus: bool = False,
@@ -626,30 +616,10 @@ def _sweep_fwd_banded_kernel(
                     trans_ref[vs, us] = trans * att
 
                 for ut in range(n_u // tile_u):
-                    if gated:
-                        # A gated-off tile contributes exactly nothing
-                        # (zero-density window => att = 1, w = 0), so
-                        # skipping is lossless — the per-(slice, tile)
-                        # empty-space skip slice-level enables can't see.
-                        # (gated requires tile_v == tile_u == _TILE; the
-                        # occupancy tile grid is _TILE-based.)
-                        pl.when(en * occ_ref[b, vt, ut] > 0.0)(
-                            functools.partial(tile_body, ut)
-                        )
-                    else:
-                        tile_body(ut)
+                    tile_body(ut)
 
             def vt_body(vt):
-                if gated:
-                    # Gate the whole row stage on any live tile in it.
-                    acc = occ_ref[b, vt, 0]
-                    for ut in range(1, n_u // _TILE):
-                        acc = jnp.maximum(acc, occ_ref[b, vt, ut])
-                    pl.when(enable_ref[vt, k] * acc > 0.0)(
-                        functools.partial(row_body, vt)
-                    )
-                else:
-                    row_body(vt)
+                row_body(vt)
 
             n_vt = n_v // tile_v
             if n_vt > 8:
@@ -716,7 +686,6 @@ def sweep_fwd(
                   # (views > 1: four (views, S) arrays, by un-folded)
     enables,      # (S,) 0/1 in traversal order ((views, S) when batched)
     dt_map,       # (V, U) — view batches stack their planes along V
-    tile_occ=None,  # optional (S, Tv, Tu) per-(slice, tile) gates
     *,
     reverse: bool = False,
     sigma_scale: float = 1.0,
@@ -734,15 +703,12 @@ def sweep_fwd(
     ``reverse=True`` visits grid slices in descending index order (rays with
     negative sweep-axis direction); coefficient arrays are always indexed by
     traversal step. ``band`` = static (max |ay|, max |ax|) enables the
-    banded kernel when the shapes qualify (see band_ok). ``tile_occ``
-    (tpuvr.kernels.occupancy.tile_occupancy, traversal order) additionally
-    gates each 128^2 output tile's window contraction on its per-slice
-    occupancy — banded kernel only, AND only when band_tiles selects the
-    full 128^2 output tile (slope <= ~0.93): the occupancy tile grid is
-    128-based, so steeper sweeps that shrink to 64/32 output tiles run
-    ungated (slice-level enables + ERT still apply). Callers passing
-    tile_occ for sparse perspective scenes should expect the per-tile skip
-    to engage only for near-axis views; see band_tiles.
+    banded kernel when the shapes qualify (see band_ok). (A per-tile
+    occupancy gate variant existed through round 4 and was REMOVED in
+    round 5: measured 1.7x SLOWER even on its designed best case — a
+    512^3 hollow shell viewed on-axis (BASELINE.md r5 tile_skip row) — the
+    per-tile branches defeat Mosaic's cross-slice pipelining;
+    slice-level enables + ERT carry C6.)
 
     ERT semantics for view batches (``views`` > 1, early_stop_eps > 0):
     the DENSE batched kernel keeps PER-VIEW termination state, so its
@@ -756,11 +722,6 @@ def sweep_fwd(
     """
     if interpret is None:
         interpret = use_interpret()
-    if softplus and tile_occ is not None:
-        raise ValueError(
-            "tile_occ gating assumes zero density in gated windows; "
-            "softplus density is positive everywhere"
-        )
     s, _, n_y, n_x = grid_sc.shape
     n_v, n_u = dt_map.shape
     dtype = grid_sc.dtype
@@ -783,19 +744,8 @@ def sweep_fwd(
     # measured 2.2x SLOWER than even the per-view dense loop at the c4
     # config (tile-granularity + loop overheads eat the window savings).
     dbatch = views > 1 and not (banded and tiles == (_TILE, _TILE))
-    if views > 1:
-        if tile_occ is not None:
-            raise ValueError("tile_occ gating unsupported for view "
-                             "batches (128-tile grid is per view)")
-        if dbatch:
-            banded = False
-    # Per-tile occupancy gating is defined on the _TILE grid only.
-    gated = banded and tile_occ is not None and tiles == (_TILE, _TILE)
-    if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
-        raise ValueError(
-            f"tile_occ shape {tile_occ.shape} != "
-            f"{(s, n_v // _TILE, n_u // _TILE)}"
-        )
+    if views > 1 and dbatch:
+        banded = False
     # Whole-array SMEM blocks (rank-1 size-1 blocks are not lowerable);
     # kernels index them with program_id.
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -869,7 +819,6 @@ def sweep_fwd(
             precision=precision,
             block=block,
             reverse=reverse,
-            gated=gated,
             tile_v=tiles[0],
             tile_u=tiles[1],
             softplus=softplus,
@@ -878,22 +827,6 @@ def sweep_fwd(
             pltpu.VMEM((4, n_x, tiles[0]), dtype),
             pltpu.SMEM((1,), dtype),
         ]
-        if not gated:
-            # 1x1 placeholder, never read by the kernel (gated=False):
-            # the real (s, n_v//_TILE, n_u//_TILE) shape is ZERO-sized
-            # when a DP row shard is narrower than a 128-tile, and
-            # Mosaic rejects zero-size operands.
-            tile_occ = jnp.ones((s, 1, 1), dtype)
-        # Blocked SMEM: only this step's (block, Tv, Tu) gates are
-        # resident — the whole-array form blew the 1 MB SMEM budget at
-        # 512^3 @ 1024^2. occ is traversal-ordered, so its block index
-        # ascends with the step (unlike the grid blocks, which map back
-        # to grid order for reverse sweeps).
-        in_specs.append(pl.BlockSpec(
-            (block,) + tile_occ.shape[1:],
-            lambda k: (k, 0, 0), memory_space=pltpu.SMEM,
-        ))
-        operands.append(tile_occ)
     else:
         kernel = functools.partial(
             _sweep_fwd_kernel,

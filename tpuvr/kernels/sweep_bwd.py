@@ -339,8 +339,7 @@ def _sweep_bwd_dbatch_kernel(
 
 
 def _sweep_bwd_banded_kernel(
-    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM (S, n_vt) scalars
-    occ_ref,     # SMEM (block, Tv, Tu) this step's tile gates
+    ay_ref, by_ref, ax_ref, bx_ref, enable_ref,   # SMEM (n_vt, S) scalars
     slice_ref,   # (B, 4, Y, X) block of grid slices (recompute)
     dt_ref,      # (V, U)
     dbias_ref,   # (V, U)
@@ -363,7 +362,6 @@ def _sweep_bwd_banded_kernel(
     block: int,
     reverse: bool,
     w_u: int,
-    gated: bool,
     tile_v: int = _TILE,
     tile_u: int = _TILE,
     view_tiles: int | None = None,
@@ -433,12 +431,6 @@ def _sweep_bwd_banded_kernel(
 
             # Stage 1 (banded): recompute per-ray state tile-by-tile and
             # assemble the dsig / w cotangent planes.
-            def row_live(vt):
-                acc = occ_ref[b, vt, 0]
-                for ut in range(1, n_u // t):
-                    acc = jnp.maximum(acc, occ_ref[b, vt, ut])
-                return enable_ref[vt, k] * acc > 0.0
-
             def row_stage(vt):
                 ay, by = ay_ref[vt, k].astype(f32), by_ref[vt, k].astype(f32)
                 v0 = vt * tile_v
@@ -499,29 +491,10 @@ def _sweep_bwd_banded_kernel(
                 w_ref[vs, us] = w
                 trans_ref[vs, us] = trans * att
 
-            def zero_tile(vt, ut):
-                # Skipped tile: zero cotangent planes (its window holds no
-                # density => w = 0, dsig = 0), T / q unchanged.
-                vs = pl.ds(vt * tile_v, tile_v)
-                us = slice(ut * tile_u, ut * tile_u + tile_u)
-                dsig_ref[vs, us] = jnp.zeros((tile_v, tile_u), dtype)
-                w_ref[vs, us] = jnp.zeros((tile_v, tile_u), dtype)
-
             def vt_stage1(vt):
-                if gated:
-                    live = row_live(vt)
-                    pl.when(live)(functools.partial(row_stage, vt))
-                    for ut in range(n_u // tile_u):
-                        tl = (enable_ref[vt, k] * occ_ref[b, vt, ut]
-                              > 0.0)
-                        pl.when(tl)(functools.partial(tile_stage, vt, ut))
-                        pl.when(jnp.logical_not(tl))(
-                            functools.partial(zero_tile, vt, ut)
-                        )
-                else:
-                    row_stage(vt)
-                    for ut in range(n_u // tile_u):
-                        tile_stage(vt, ut)
+                row_stage(vt)
+                for ut in range(n_u // tile_u):
+                    tile_stage(vt, ut)
 
             if n_vt > 8:
                 # Many v-tiles (view batches): loop instead of unrolling
@@ -568,14 +541,7 @@ def _sweep_bwd_banded_kernel(
                     p_ref[...] = jnp.zeros_like(p_ref)
 
                     def acc_one(vt):
-                        if gated:
-                            # Skipped rows carry zero dsig/w (stage 1
-                            # wrote zeros) — their accumulate is a no-op.
-                            pl.when(row_live(vt))(
-                                functools.partial(accum_rows, vt)
-                            )
-                        else:
-                            accum_rows(vt)
+                        accum_rows(vt)
 
                     if vt_pv > 8:
                         jax.lax.fori_loop(
@@ -689,7 +655,6 @@ def sweep_bwd(
     t_final,     # (V, U)
     d_color,     # (3, V, U) cotangents
     d_trans,     # (V, U)
-    tile_occ=None,  # optional (S, Tv, Tu) per-(slice, tile) gates
     *,
     reverse: bool = False,
     sigma_scale: float = 1.0,
@@ -705,9 +670,7 @@ def sweep_bwd(
     """Gradient of the sweep w.r.t. the grid.
 
     Returns (S, 4, Y, X) gradient in the same layout as ``grid_sc``.
-    ``band`` as in sweep_fwd enables the banded recompute; ``tile_occ``
-    as in sweep_fwd gates each recompute tile (banded only) — skipped
-    tiles contribute exactly zero gradient, mirroring the forward.
+    ``band`` as in sweep_fwd enables the banded recompute.
     ``views`` as in sweep_fwd: the stacked view batch re-marches and
     projects all views' gradients in ONE grid stream. ERT semantics
     for view batches mirror sweep_fwd: per-view state in the DENSE
@@ -725,24 +688,10 @@ def sweep_bwd(
     """
     if interpret is None:
         interpret = use_interpret()
-    if softplus and tile_occ is not None:
-        raise ValueError(
-            "tile_occ gating assumes zero density in gated windows; "
-            "softplus density is positive everywhere"
-        )
     s, _, n_y, n_x = grid_sc.shape
     n_v, n_u = dt_map.shape
     dtype = grid_sc.dtype
     ay, by, ax, bx = coeffs
-    if block is None:
-        block = next(b for b in (4, 2, 1) if s % b == 0)
-    if s % block:
-        raise ValueError(f"block {block} must divide n_slices {s}")
-    n_steps = s // block
-
-    def block_index(step):
-        return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
-
     # Adaptive output tiles, EXACTLY as the forward dispatch picks them
     # (sweep_fwd:438): steep sweeps (slope > ~0.93) must shrink the
     # output tile so its tap band fits the fixed _TILE window — leaving
@@ -753,19 +702,22 @@ def sweep_bwd(
     # Same routing as sweep_fwd: full-128 banded tiles keep the banded
     # savings; steeper view batches go DENSE-batched.
     dbatch = views > 1 and not (banded and tiles == (_TILE, _TILE))
-    if views > 1:
-        if tile_occ is not None:
-            raise ValueError("tile_occ gating unsupported for view "
-                             "batches")
-        if dbatch:
-            banded = False
-    # Per-tile occupancy gating is defined on the _TILE grid only.
-    gated = banded and tile_occ is not None and tiles == (_TILE, _TILE)
-    if gated and tile_occ.shape != (s, n_v // _TILE, n_u // _TILE):
-        raise ValueError(
-            f"tile_occ shape {tile_occ.shape} != "
-            f"{(s, n_v // _TILE, n_u // _TILE)}"
-        )
+    if views > 1 and dbatch:
+        banded = False
+    if block is None:
+        # The view-batched backward prefers 2-slice blocks: its 16+
+        # matmuls/slice already fill the pipeline, and the smaller
+        # block halves the (B, 4, Y, X) grad staging working set —
+        # measured 7.14 vs 8.14 ms at the c4 shape (block 2 vs 4,
+        # tools/kernel_tune.py 2026-08-21, ~78% vs 68% MXU util).
+        prefer = (2, 1) if dbatch else (4, 2, 1)
+        block = next(b for b in prefer if s % b == 0)
+    if s % block:
+        raise ValueError(f"block {block} must divide n_slices {s}")
+    n_steps = s // block
+
+    def block_index(step):
+        return ((n_steps - 1 - step) if reverse else step, 0, 0, 0)
     if banded:
         # Static u-window width for the banded gradient projection: the
         # transpose direction has slope 1/|ax| > 1, so a _TILE-column
@@ -793,19 +745,10 @@ def sweep_bwd(
             block=block,
             reverse=reverse,
             w_u=w_u,
-            gated=gated,
             tile_v=tiles[0],
             tile_u=tiles[1],
             view_tiles=(n_v // views) // tiles[0],
             softplus=softplus,
-        )
-        if not gated:
-            # 1x1 placeholder (never read): the real shape is zero-sized
-            # for sub-128-row DP shards and Mosaic rejects that.
-            tile_occ = jnp.ones((s, 1, 1), dtype)
-        occ_spec = pl.BlockSpec(
-            (block,) + tile_occ.shape[1:],
-            lambda k: (k, 0, 0), memory_space=pltpu.SMEM,
         )
     else:
         kernel = functools.partial(
@@ -892,8 +835,6 @@ def sweep_bwd(
         operands = list(_expand_tile_scalars(
             (ay, by, ax, bx, enables), views, tiles[0], n_v
         ))
-        in_specs.append(occ_spec)
-        operands.append(tile_occ)
     grad_yx, trans_fin, q_fin = pl.pallas_call(
         kernel,
         grid=(n_steps,),

@@ -56,15 +56,11 @@ def _softplus_slice(sl):
                      "precision", "softplus"),
 )
 def sweep_fwd_xla(
-    grid_sc, coeffs, enables, dt_map, tile_occ=None,
+    grid_sc, coeffs, enables, dt_map,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
     precision="highest", softplus=False,
 ):
     """Scan-based forward sweep. Returns (rgb (3, V, U), trans (V, U)).
-
-    ``tile_occ`` is accepted for signature parity with the Pallas kernel
-    and ignored: tile gating is lossless (gated tiles contribute exactly
-    zero), so the dense scan computes the identical result.
 
     ``softplus``: the grid's density channel holds RAW parameters;
     apply softplus per slice before resampling (the fused-softplus
@@ -117,14 +113,12 @@ def sweep_fwd_xla(
 )
 def sweep_bwd_xla(
     grid_sc, coeffs, enables, dt_map, c_final, t_final, d_color, d_trans,
-    tile_occ=None,
     *, reverse=False, sigma_scale=1.0, early_stop_eps=0.0,
     precision="highest", softplus=False, carry=None,
 ):
     """Scan-based backward sweep (same formulas as the Pallas kernel).
 
-    Returns the (S, 4, Y, X) grid gradient. ``tile_occ`` ignored as in
-    :func:`sweep_fwd_xla` (tile gating is lossless).
+    Returns the (S, 4, Y, X) grid gradient.
 
     ``carry``: optional (trans0, q0) recompute state entering this call
     (slab-chunked backwards, exactly as in

@@ -78,7 +78,6 @@ def prepare_grid(
     lighting: Optional[LightingConfig] = None,
     precision: str = "highest",
     impl: Optional[str] = None,
-    brick: int = 8,
 ):
     """Per-grid-update preprocessing for the frame loop (C6 + layout).
 
@@ -87,8 +86,8 @@ def prepare_grid(
     SURVEY.md §3); the TPU-native equivalents of that upload step are the
     sweep-layout transpose, the occupancy scan, and the lighting bake —
     all O(grid) HBM passes that don't belong in the per-frame path. This
-    returns a pytree ``{axis: (grid_sc, slice_max, brickmax)}`` consumed
-    by :func:`render_prepared`; rebuild it whenever the grid (or lighting)
+    returns a pytree ``{axis: (grid_sc, slice_max)}`` consumed by
+    :func:`render_prepared`; rebuild it whenever the grid (or lighting)
     changes. Differentiable w.r.t. ``grid`` (transposes + the lighting
     bake's VJP; the occupancy fields are detached).
 
@@ -96,11 +95,7 @@ def prepare_grid(
       axes: which sweep axes to prepare (a camera with dominant axis not
         in ``axes`` cannot be rendered from this prep). Cameras in a known
         orbit usually need only one or two axes.
-      brick: in-plane brick edge for the per-slice occupancy max
-        (RenderConfig.occupancy_brick) feeding banded-tile skipping.
     """
-    from tpuvr.kernels.occupancy import slice_brick_max
-
     if lighting is not None and lighting.mode != "none":
         from tpuvr.ops.lighting import apply_lighting
 
@@ -111,8 +106,7 @@ def prepare_grid(
         slice_max = jax.lax.stop_gradient(
             jnp.max(grid_sc[:, 0, :, :], axis=(1, 2))
         )
-        prep[int(axis)] = (grid_sc, slice_max, slice_brick_max(grid_sc,
-                                                               brick))
+        prep[int(axis)] = (grid_sc, slice_max)
     return prep
 
 
@@ -138,7 +132,7 @@ def render_prepared(
             f"camera sweeps axis {axis}, but prepare_grid was built for "
             f"axes {sorted(prep)}"
         )
-    grid_sc, slice_max, brickmax = prep[axis]
+    grid_sc, slice_max = prep[axis]
     plan, uv_pixel = plan_sweep(
         cam, _grid_shape_from_sweep(axis, grid_sc.shape), axis,
         oversample=cfg.oversample,
@@ -146,21 +140,10 @@ def render_prepared(
     dtype = grid_sc.dtype
     coeffs = slice_coeffs(plan, dtype)
     dt_map = ray_dt(plan, dtype)
-    occ_ctx = None
     if cfg.use_occupancy:
         enables = (slice_max > 0.0).astype(dtype)
         if plan.reverse:
             enables = enables[::-1]
-        if cfg.tile_skip:
-            # Per-(slice, output-tile) gates for the banded kernels:
-            # brick edge recovered from the prep field (must be what the
-            # windows are checked against). Opt-in: see RenderConfig.
-            brick = -(-grid_sc.shape[2] // brickmax.shape[1])
-            occ_ctx = (
-                brickmax[::-1] if plan.reverse else brickmax,
-                brick,
-                (grid_sc.shape[2], grid_sc.shape[3]),
-            )
     else:
         enables = jnp.ones((grid_sc.shape[0],), dtype)
     # Fly-through cameras: gate planes behind the eye to zero (lossless,
@@ -176,7 +159,7 @@ def render_prepared(
     )
     rgb, trans = chunked_sweep(
         op, grid_sc, coeffs, enables, dt_map,
-        max_rows=cfg.max_rows_per_call, occ_ctx=occ_ctx,
+        max_rows=cfg.max_rows_per_call,
         ert_chunks=cfg.ert_chunks, reverse=plan.reverse,
         eps=cfg.early_stop_eps,
     )
@@ -228,7 +211,7 @@ def render_view(
     axis = dominant_axis(cam)
     prep = prepare_grid(
         grid, axes=(axis,), lighting=lighting, precision=cfg.precision,
-        impl=impl, brick=cfg.occupancy_brick,
+        impl=impl,
     )
     return render_prepared(prep, cam, cfg, impl=impl)
 

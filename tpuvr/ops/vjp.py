@@ -73,15 +73,14 @@ def sweep_op(
     system cannot see through the in-kernel collective) and a 1-D mesh
     axis. The XLA impl emulates it as backward + psum so CPU-mesh
     callers exercise the same call shape. Mutually exclusive with
-    ``bwd_chunks``/``axis_name`` and with ``tile_occ``.
+    ``bwd_chunks``/``axis_name``.
     """
     # ``softplus``: the grid's DENSITY channel holds raw parameters and
     # the kernels apply softplus per streamed slice before resampling
     # (backward chains d softplus = sigmoid into the density gradient).
     # The fused-softplus training path (tpuvr.train.fit) uses this to
     # skip the materialized 2x268 MB softplus+layout pass per step at
-    # 256^3. Mutually exclusive with tile_occ gating (positive density
-    # everywhere).
+    # 256^3.
     kw = dict(
         reverse=reverse,
         sigma_scale=sigma_scale,
@@ -108,14 +107,13 @@ def sweep_op(
         raise ValueError(f"unknown sweep impl: {impl}")
 
     @jax.custom_vjp
-    def op(grid_sc, coeffs, enables, dt_map, tile_occ=None):
-        return fwd_fn(grid_sc, coeffs, enables, dt_map, tile_occ, **kw)
+    def op(grid_sc, coeffs, enables, dt_map):
+        return fwd_fn(grid_sc, coeffs, enables, dt_map, **kw)
 
-    def op_fwd(grid_sc, coeffs, enables, dt_map, tile_occ):
-        rgb, trans = fwd_fn(grid_sc, coeffs, enables, dt_map, tile_occ,
-                            **kw)
+    def op_fwd(grid_sc, coeffs, enables, dt_map):
+        rgb, trans = fwd_fn(grid_sc, coeffs, enables, dt_map, **kw)
         return (rgb, trans), (
-            grid_sc, coeffs, enables, dt_map, tile_occ, rgb, trans
+            grid_sc, coeffs, enables, dt_map, rgb, trans
         )
 
     if ring is not None and (bwd_chunks > 1 or axis_name is not None):
@@ -123,13 +121,10 @@ def sweep_op(
                          "bwd_chunks/axis_name")
 
     def op_bwd(res, cot):
-        grid_sc, coeffs, enables, dt_map, tile_occ, rgb, trans = res
+        grid_sc, coeffs, enables, dt_map, rgb, trans = res
         d_rgb, d_trans = cot
         if ring is not None:
             r_axis, r_size, r_chunks = ring
-            if tile_occ is not None:
-                raise ValueError("ring backward is dense-only "
-                                 "(tile_occ unsupported)")
             if impl == "pallas":
                 from tpuvr.kernels.ring_bwd import sweep_bwd_ring
 
@@ -143,7 +138,7 @@ def sweep_op(
                 # CPU-mesh twin: same signature/semantics, XLA psum.
                 dgrid = bwd_fn(
                     grid_sc, coeffs, enables, dt_map, rgb, trans,
-                    d_rgb, d_trans, None, **kw,
+                    d_rgb, d_trans, **kw,
                 )
                 dgrid = jax.lax.psum(dgrid, r_axis)
             zero = lambda x: jnp.zeros_like(x)
@@ -152,18 +147,17 @@ def sweep_op(
                 tuple(zero(c) for c in coeffs),
                 zero(enables),
                 zero(dt_map),
-                None if tile_occ is None else zero(tile_occ),
             )
         if bwd_chunks > 1:
             dgrid = _chunked_bwd(
                 bwd_fn, bwd_chunks, axis_name, reverse,
                 grid_sc, coeffs, enables, dt_map, rgb, trans,
-                d_rgb, d_trans, tile_occ, kw,
+                d_rgb, d_trans, kw,
             )
         else:
             dgrid = bwd_fn(
                 grid_sc, coeffs, enables, dt_map, rgb, trans, d_rgb,
-                d_trans, tile_occ, **kw,
+                d_trans, **kw,
             )
         # Inside shard_map(check_vma=True) the cotangent must carry the
         # primal input's vma type. When the grid is replicated over mesh
@@ -183,7 +177,6 @@ def sweep_op(
             tuple(zero(c) for c in coeffs),
             zero(enables),
             zero(dt_map),
-            None if tile_occ is None else zero(tile_occ),
         )
 
     op.defvjp(op_fwd, op_bwd)
@@ -191,8 +184,7 @@ def sweep_op(
 
 
 def _chunked_bwd(bwd_fn, n_chunks, axis_name, reverse, grid_sc, coeffs,
-                 enables, dt_map, rgb, trans, d_rgb, d_trans, tile_occ,
-                 kw):
+                 enables, dt_map, rgb, trans, d_rgb, d_trans, kw):
     """Slab-chunked backward with per-chunk gradient all-reduce.
 
     Chunks follow TRAVERSAL order (chunk 0 = first slices the rays hit)
@@ -223,7 +215,6 @@ def _chunked_bwd(bwd_fn, n_chunks, axis_name, reverse, grid_sc, coeffs,
             tuple(c[..., tr] for c in coeffs),
             enables[..., tr],
             dt_map, rgb, trans, d_rgb, d_trans,
-            tile_occ[tr] if tile_occ is not None else None,
             carry=carry, **kw,
         )
         if axis_name is not None:
@@ -234,15 +225,14 @@ def _chunked_bwd(bwd_fn, n_chunks, axis_name, reverse, grid_sc, coeffs,
     return jnp.concatenate(parts, axis=0)
 
 
-def _xla_views_fwd(views, grid_sc, coeffs, enables, dt_map,
-                   tile_occ=None, **kw):
+def _xla_views_fwd(views, grid_sc, coeffs, enables, dt_map, **kw):
     ay, by, ax, bx = coeffs
     n_v = dt_map.shape[0] // views
     rgbs, ts = [], []
     for w in range(views):
         rgb, t = sweep_fwd_xla(
             grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w],
-            dt_map[w * n_v:(w + 1) * n_v], tile_occ, **kw,
+            dt_map[w * n_v:(w + 1) * n_v], **kw,
         )
         rgbs.append(rgb)
         ts.append(t)
@@ -250,7 +240,7 @@ def _xla_views_fwd(views, grid_sc, coeffs, enables, dt_map,
 
 
 def _xla_views_bwd(views, grid_sc, coeffs, enables, dt_map, rgb, trans,
-                   d_rgb, d_trans, tile_occ=None, carry=None, **kw):
+                   d_rgb, d_trans, carry=None, **kw):
     ay, by, ax, bx = coeffs
     n_v = dt_map.shape[0] // views
     g = None
@@ -261,7 +251,7 @@ def _xla_views_bwd(views, grid_sc, coeffs, enables, dt_map, rgb, trans,
         out = sweep_bwd_xla(
             grid_sc, (ay[w], by[w], ax[w], bx[w]), enables[w],
             dt_map[sl], rgb[:, sl], trans[sl], d_rgb[:, sl],
-            d_trans[sl], tile_occ, carry=c_w, **kw,
+            d_trans[sl], carry=c_w, **kw,
         )
         if carry is not None:
             g_w, (t_f, q_f) = out
@@ -393,7 +383,7 @@ def _future_coverage_masks(coeffs, enables, n_v, n_u, n_y, n_x, sc,
 
 
 def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
-                  occ_ctx=None, ert_chunks=1, reverse=False, eps=0.0):
+                  ert_chunks=1, reverse=False, eps=0.0):
     """Apply a sweep op over row chunks of the intermediate image.
 
     Large frames (C7: up to 1024^2) cannot keep all resident ray planes in
@@ -404,11 +394,6 @@ def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
     row-sharded DP path). Per-chunk early termination is at least as
     aggressive as whole-image ERT and keeps the same error bound.
 
-    ``occ_ctx = (brickmax, brick, (Y, X))`` (traversal-order brick max
-    from tpuvr.kernels.occupancy.slice_brick_max) turns on per-(slice,
-    128^2-tile) empty-space skipping in the banded kernels: the gates are
-    computed per chunk from the chunk's coefficients.
-
     Gradients compose through each chunk's custom VJP; chunk grid
     gradients are summed by XLA.
 
@@ -416,31 +401,20 @@ def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
     slab-chunks the SLICE axis through :func:`ert_chunked_sweep` so
     early ray termination skips remaining slabs' kernels and HBM
     streams entirely (per-row-chunk termination is at least as
-    aggressive as whole-image). Mutually exclusive with per-tile
-    occupancy gating (``occ_ctx`` wins; slab chunking is dropped).
+    aggressive as whole-image).
     """
-    from tpuvr.kernels.occupancy import tile_occupancy
-
     n_v, n_u = dt_map.shape
 
-    def occ_for(coeffs_c, rows_c):
-        if occ_ctx is None or rows_c % 128 or n_u % 128:
-            return None
-        brickmax, brick, plane_shape = occ_ctx
-        return tile_occupancy(
-            brickmax, coeffs_c, rows_c, n_u, brick, plane_shape
-        )
-
-    def call(coeffs_c, dt_c, occ_c):
-        if ert_chunks > 1 and eps > 0.0 and occ_c is None:
+    def call(coeffs_c, dt_c):
+        if ert_chunks > 1 and eps > 0.0:
             return ert_chunked_sweep(
                 op, grid_sc, coeffs_c, enables, dt_c, ert_chunks,
                 reverse, eps,
             )
-        return op(grid_sc, coeffs_c, enables, dt_c, occ_c)
+        return op(grid_sc, coeffs_c, enables, dt_c)
 
     if max_rows is None or n_v <= max_rows:
-        return call(coeffs, dt_map, occ_for(coeffs, n_v))
+        return call(coeffs, dt_map)
     n_chunks = -(-n_v // max_rows)
     while n_v % n_chunks:
         n_chunks += 1
@@ -451,8 +425,7 @@ def chunked_sweep(op, grid_sc, coeffs, enables, dt_map, max_rows=None,
         r0 = i * rows
         by_i = by + jnp.asarray(r0, by.dtype) * ay
         coeffs_i = (ay, by_i, ax, bx)
-        rgb_i, t_i = call(coeffs_i, dt_map[r0:r0 + rows],
-                          occ_for(coeffs_i, rows))
+        rgb_i, t_i = call(coeffs_i, dt_map[r0:r0 + rows])
         rgbs.append(rgb_i)
         ts.append(t_i)
     return jnp.concatenate(rgbs, axis=1), jnp.concatenate(ts, axis=0)
