@@ -42,9 +42,13 @@ two-slot HBM receive buffer:
   leftover credits are drained at kernel exit so every semaphore ends
   at zero. Send semaphores retire on slot reuse (round r-2) plus a
   final wait per slot.
-- pacing: ``pace`` issues execute at the top of each grid step inside
-  the NEXT slab's compute window (``pace`` is forced even so the
-  semaphore slot parity of every issue is compile-time static).
+- pacing: ``pace = ceil((R+1)/spc)`` issues execute at the top of each
+  grid step inside the NEXT slab's compute window — the MINIMAL rate,
+  so each transfer gets the longest possible compute cover (an early
+  even-forced pace bunched two issues per step and exposed half the
+  wire time). Odd paces make issue parity depend on the step; the ring
+  section is then emitted twice, once per step parity, so every
+  semaphore slot stays compile-time static.
 
 The gradient output lives in HBM (``memory_space=pltpu.HBM``) and the
 kernel writes each block explicitly (VMEM scratch staged through a
@@ -225,9 +229,13 @@ def _sweep_bwd_ring_kernel(
     seg_sl = sc // D                    # slices per ring segment
     spc = n_steps // n_chunks           # grid steps per slab
     R = 2 * (D - 1)
-    # R+1 issues per slab (issue i = consume i-1 + send i); even pace
-    # keeps every issue's semaphore slot parity static.
-    pace = 2 * (-(-(R + 1) // (2 * spc)))
+    # R+1 issues per slab (issue i = consume i-1 + send i), spread at
+    # the MINIMAL rate so each round's wire transfer gets the longest
+    # possible compute window before anyone blocks on it (an even
+    # forced pace bunched 2 issues per step and exposed ~half the wire
+    # time). Odd paces make the issue parity step-dependent; the
+    # two-phase emission below keeps every semaphore slot static.
+    pace = -(-(R + 1) // spc)
     my = jax.lax.axis_index(axis_name)
     ring_kw = dict(D=D, sc=sc, seg_sl=seg_sl, s=s, reverse=reverse)
 
@@ -254,16 +262,34 @@ def _sweep_bwd_ring_kernel(
     i32 = jnp.int32
     a = step // i32(spc) - i32(1)
     local = jax.lax.rem(step, i32(spc))
-    for rr in range(pace):
-        i = local * i32(pace) + i32(rr)
-        ok = jnp.logical_and(a >= 0, i <= R)
-        skip = jnp.logical_and(a == 0, i < 2)
-        pl.when(ok)(functools.partial(
-            _ring_issue, grad_ref, rbuf_ref, vseg_ref, vseg2_ref,
-            send_sem, recv_sem, credit_sem, lsem,
-            my=my, a=a, i=i, slot_send=rr % 2, slot_recv=(rr + 1) % 2,
-            skip_send_wait=skip, **ring_kw,
-        ))
+
+    def _issues(phase):
+        # Issue i = local*pace + rr has parity (phase*pace + rr) % 2
+        # on steps with local % 2 == phase — static per emission site.
+        # phase=None (even pace): parity is phase-independent (rr % 2)
+        # and no step filter is needed.
+        for rr in range(pace):
+            i = local * i32(pace) + i32(rr)
+            slot = (rr if phase is None else phase * pace + rr) % 2
+            ok = jnp.logical_and(a >= 0, i <= R)
+            if phase is not None:
+                ok = jnp.logical_and(
+                    ok, jax.lax.rem(local, i32(2)) == phase
+                )
+            skip = jnp.logical_and(a == 0, i < 2)
+            pl.when(ok)(functools.partial(
+                _ring_issue, grad_ref, rbuf_ref, vseg_ref, vseg2_ref,
+                send_sem, recv_sem, credit_sem, lsem,
+                my=my, a=a, i=i, slot_send=slot,
+                slot_recv=(slot + 1) % 2,
+                skip_send_wait=skip, **ring_kw,
+            ))
+
+    if pace % 2 == 0:
+        _issues(None)
+    else:
+        _issues(0)
+        _issues(1)
 
     # ---- backward compute for this step's slice block (the dense
     # view-batched body of sweep_bwd._sweep_bwd_dbatch_kernel, writing
