@@ -284,3 +284,67 @@ def test_fit_grad_ring_matches_baseline(tmp_path):
     np.testing.assert_allclose(runs[True][1], runs[False][1], rtol=2e-3,
                                atol=1e-7)
     np.testing.assert_allclose(runs[True][0], runs[False][0], atol=1e-4)
+
+
+@pytest.mark.parametrize("case", ["softplus", "ert"])
+def test_ring_grad_softplus_and_ert(case):
+    """Ring backward with the fused-softplus density transform and with
+    ERT enabled. Softplus: the in-kernel sigmoid chain must survive the
+    ring reduction. ERT: ring rounds are COLLECTIVE — a device whose
+    rays all terminate must still run every round (the ring work sits
+    outside the liveness gate), or the mesh deadlocks/corrupts; the
+    opaque scene here terminates different shards at different slabs."""
+    mesh = _mesh()
+    grid_sc, coeffs, enables, dt_map, plan = _scene()
+    if case == "softplus":
+        grid_sc = grid_sc - 0.5  # raw params: negative densities too
+        kw = dict(reverse=plan.reverse, sigma_scale=1.0,
+                  early_stop_eps=0.0, precision="highest",
+                  softplus=True)
+    else:
+        fog = jnp.asarray([2.0, 0, 0, 0], jnp.float32)
+        grid_sc = grid_sc + fog[None, :, None, None]  # dense fog: ERT
+        kw = dict(reverse=plan.reverse, sigma_scale=8.0,
+                  early_stop_eps=1e-3, precision="highest")
+    n_v, n_u = dt_map.shape
+    rows_local = n_v // D
+    rng = np.random.default_rng(11)
+    d_color = jnp.asarray(rng.normal(size=(3, n_v, n_u)), jnp.float32)
+    d_trans = jnp.asarray(rng.normal(size=(n_v, n_u)), jnp.float32)
+    ay, by, ax, bx = coeffs
+
+    def body(grid_sc, ay, by, ax, bx, enables, dt_t, dC_t, dT_t):
+        row_off = (jax.lax.axis_index("data") * rows_local).astype(
+            jnp.float32)
+        cfs = (ay, by + row_off * ay, ax, bx)
+        rgb, trans = sweep_fwd_xla(grid_sc, cfs, enables, dt_t, **kw)
+        g_ring = sweep_bwd_ring(
+            grid_sc, cfs, enables, dt_t, rgb, trans, dC_t, dT_t,
+            ring_axis="data", ring_size=D, ring_chunks=2,
+            interpret=pltpu.InterpretParams(), **kw,
+        )
+        g_ref = sweep_bwd_xla(grid_sc, cfs, enables, dt_t, rgb, trans,
+                              dC_t, dT_t, **kw)
+        g_ref = jax.lax.psum(g_ref, "data")
+        return g_ring[None], g_ref[None]
+
+    g_ring, g_ref = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P("data", None),
+                  P(None, "data", None), P("data", None)),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )(grid_sc, ay, by, ax, bx, enables, dt_map, d_color, d_trans)
+    g_ring, g_ref = np.asarray(g_ring), np.asarray(g_ref)
+    scale = max(np.abs(g_ref[0]).max(), 1e-6)
+    if case == "ert":
+        # The Pallas dense-batched kernel gates ERT per BLOCK while the
+        # XLA twin gates per SLICE: a shard's last sub-eps slices may
+        # differ. Bound by the ERT error model instead of exact parity:
+        # differing contributions carry transmittance < eps.
+        tol = 1e-3 * scale * 8
+    else:
+        tol = 1e-5 * scale
+    for d in range(D):
+        np.testing.assert_allclose(g_ring[d], g_ref[0], atol=tol,
+                                   rtol=1e-5, err_msg=f"device {d}")
