@@ -274,10 +274,19 @@ def cmd_c4(args):
                       ckpt_every=max(args.steps // 2, 1),
                       ckpt_bf16=True,
                       ckpt_dir=os.path.join(run_dir, "ckpt"))
+    opt = None
+    if args.mu_bf16:
+        # Adam is HBM-bound (2.43 ms of the 17.2 ms step moves
+        # params+mu+nu+grad at ~SoL); bf16 mu drops a full-grid f32
+        # stream. Opt-in until PSNR parity is confirmed per config.
+        import optax
+        import jax.numpy as _jnp
+
+        opt = optax.adam(args.lr, mu_dtype=_jnp.bfloat16)
     t0 = time.time()
     grid, params, history = fit_grid(
         targets, cams, (n, n, n, 4), cfg, render_cfg,
-        impl=impl, run_dir=run_dir,
+        impl=impl, run_dir=run_dir, opt=opt,
     )
     wall = time.time() - t0
 
@@ -374,6 +383,13 @@ def main():
     p4.add_argument("--rays-per-view", type=int, default=None)
     p4.add_argument("--steps-per-call", type=int, default=16)
     p4.add_argument("--run-dir", default="/tmp/tpuvr_c4")
+    p4.add_argument("--mu-bf16", action="store_true",
+                    help="bf16 Adam mu. MEASURED SLOWER at c4 (18.75 "
+                         "vs 17.19 ms/step, 2026-08-21): the cast "
+                         "round-trips break XLA's fused Adam and cost "
+                         "more than the saved f32 stream. Kept opt-in "
+                         "as the honest negative; PSNR parity held "
+                         "(52.04/33.69).")
     p4.set_defaults(fn=cmd_c4)
     args = p.parse_args()
     args.fn(args)
